@@ -1,0 +1,126 @@
+"""Canonicalization: connected components over alias/surface-form
+equivalence (north_rule §2.10 extension; the reference's degenerate form is
+the per-term seeded collapse at `gazetteer_pre_process.py:56-63`).
+
+Algorithm: alternating large-star / small-star (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14), expressed purely in
+DataFrame ops so Catalyst/AQE handle distribution:
+
+  large-star: for every node u, m = min(neighborhood(u) + u); connect every
+              strictly-larger neighbour v > u to m.
+  small-star: orient edges to (hi -> lo); for every hi, m = min(lo's + hi);
+              connect every lo (and hi) to m.
+
+Converges in O(log^2 n) rounds; component id = the component's
+lexicographically smallest node. Skew posture (hot entities produce
+star-shaped neighbourhoods of millions of edges at web scale):
+
+- neighbourhood minima are computed with ``groupBy(u).agg(min(v))`` +
+  re-join rather than ``collect_list`` — partial (map-side) aggregation
+  absorbs hot keys, and no row ever materializes a full neighbourhood;
+- AQE skew-join splitting handles the re-join against hot u's;
+- each iteration ends in ``dropDuplicates`` on (src, dst), keeping the edge
+  set minimal;
+- iteration state is ``localCheckpoint``-ed to truncate lineage (at cluster
+  scale: checkpoint to reliable storage instead).
+
+Convergence check: the large-star edge set is a fixpoint iff every edge
+already points at its component minimum; we test sum-of-hashes equality,
+an O(1)-driver-side comparison of a distributed aggregate.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _min_neighbor(edges: DataFrame) -> DataFrame:
+    """(src, dst) bidirectional edges -> (src, mn) where
+    mn = min(min(dst), src)."""
+    return edges.groupBy("src").agg(
+        F.least(F.min("dst"), F.first("src")).alias("mn")
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    bidir = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    mn = _min_neighbor(bidir)
+    return (
+        bidir.join(mn, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .union(mn.select(F.col("src"), F.col("mn").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    oriented = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    )
+    mn = _min_neighbor(oriented)
+    return (
+        oriented.join(mn, "src")
+        .select(F.col("dst").alias("src"), F.col("mn").alias("dst"))
+        .union(mn.select("src", F.col("mn").alias("dst")))
+        .where(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+def _signature(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(
+            F.expr("bit_xor(xxhash64(src, dst))"), F.lit(0)
+        ).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """edges(src, dst) [undirected, any orientation, string node ids]
+    -> DataFrame(node string, component string).
+
+    Component id = lexicographic min node of the component. Isolated nodes
+    (self-loops or src==dst rows) map to themselves.
+    """
+    e = (
+        edges.select(F.col(src).cast("string").alias("src"),
+                     F.col(dst).cast("string").alias("dst"))
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .dropDuplicates(["src", "dst"])
+    )
+    all_nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    e = e.where(F.col("src") != F.col("dst"))
+
+    prev_sig = None
+    for _ in range(max_iter):
+        e = _large_star(e).localCheckpoint(eager=True)
+        e = _small_star(e).localCheckpoint(eager=True)
+        sig = _signature(e)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # After convergence every edge is (node -> component-min).
+    membership = e.select(F.col("src").alias("node"), F.col("dst").alias("component"))
+    membership = membership.groupBy("node").agg(F.min("component").alias("component"))
+    return (
+        all_nodes.join(membership, "node", "left")
+        .select(
+            "node",
+            F.coalesce("component", "node").alias("component"),
+        )
+    )

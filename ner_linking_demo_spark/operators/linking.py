@@ -1,0 +1,189 @@
+"""Entity-linking stage: mentions -> candidates -> k-distinct codes.
+
+Spark-first re-expression of the reference linking batch
+(`/root/reference/server/linking/scripts/mentions_normalization.py:92-171`
++ `server/linking/src/candidates/faisslm.py:186-266`):
+
+    mentions DF
+      -> knn_candidates        (M4 embed + M5/J5 broadcast exact-IP search,
+                                mapInPandas, UDTF-shaped: 1 mention ->
+                                max_n_texts candidate rows)
+      -> k_distinct_codes      (W3: two-window composition replacing the
+                                reference's per-mention OrderedDict loop)
+      -> linked mentions       (codes array<string> in first-seen order)
+
+Plan shape: Scan -> PythonMapInArrow -> Window -> Aggregate. One shuffle,
+on the mention key, for the window; the candidate explosion stays
+skew-visible and checkpointable (SURVEY.md §3.3 chose the exploded form
+deliberately).
+
+Scale posture:
+- the term index (float32 matrix + term/code arrays) is a Spark broadcast,
+  deserialized once per executor python worker; SNOMED-scale vocabularies
+  are tens of MB — always the broadcast side;
+- one matmul per Arrow batch (fixes the reference's per-query search loop,
+  ``faisslm.py:205-209``);
+- candidate volume = mentions x max_n_texts: bounded, linear in input, and
+  AQE coalesces the post-explosion partitions.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from ..functions.embedder import HashEmbedder, l2_normalize
+from ..functions.term_index import TermIndex, build_term_index
+
+MENTION_KEY = ["url", "start", "end", "label"]
+
+CANDIDATES_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+        T.StructField("span", T.StringType(), False),
+        T.StructField("rank", T.IntegerType(), False),
+        T.StructField("term", T.StringType(), False),
+        T.StructField("code", T.StringType(), False),
+        T.StructField("score", T.FloatType(), False),
+    ]
+)
+
+
+def build_indexes(
+    gazetteer_pdf: pd.DataFrame, k: int = 3, embedder: HashEmbedder | None = None
+) -> dict[str, TermIndex]:
+    """One exact-IP term index per entity type (upper-cased label key,
+    matching the mentions table)."""
+    embedder = embedder or HashEmbedder()
+    return {
+        str(label).upper(): build_term_index(
+            gazetteer_pdf, str(label), k=k, embedder=embedder
+        )
+        for label in sorted(set(gazetteer_pdf["label"]))
+    }
+
+
+def knn_candidates(
+    mentions: DataFrame,
+    indexes: dict[str, TermIndex],
+    embedder: HashEmbedder | None = None,
+) -> DataFrame:
+    """mentions -> exploded candidates (one row per mention x neighbour,
+    rank 0..max_n_texts-1 in similarity order, ties by term ordinal)."""
+    spark = mentions.sparkSession
+    embedder = embedder or HashEmbedder()
+    bc = spark.sparkContext.broadcast((indexes, embedder))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idxs, emb = bc.value  # once per python worker
+        for pdf in batches:
+            outs = []
+            for label, sub in pdf.groupby("label", sort=True):
+                index = idxs.get(str(label))
+                if index is None or sub.empty:
+                    continue
+                queries = l2_normalize(emb.encode(list(sub["span"])))
+                scores, ids = index.search(queries)  # [m, top_n]
+                m, top_n = scores.shape
+                rep = sub.loc[sub.index.repeat(top_n)].reset_index(drop=True)
+                flat_ids = ids.reshape(-1)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "url": rep["url"],
+                            "label": rep["label"],
+                            "start": rep["start"],
+                            "end": rep["end"],
+                            "span": rep["span"],
+                            "rank": np.tile(
+                                np.arange(top_n, dtype=np.int32), m
+                            ),
+                            "term": np.asarray(index.terms, dtype=object)[
+                                flat_ids
+                            ],
+                            "code": np.asarray(index.codes, dtype=object)[
+                                flat_ids
+                            ],
+                            "score": scores.reshape(-1),
+                        }
+                    )
+                )
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame(
+                    {f.name: [] for f in CANDIDATES_SCHEMA.fields}
+                )
+            )
+
+    return mentions.mapInPandas(run, schema=CANDIDATES_SCHEMA)
+
+
+def k_distinct_codes(candidates: DataFrame, k: int) -> DataFrame:
+    """W3 — THE core ranking semantic (reference ``faisslm.py:219-248``):
+    walk candidates in similarity order, keep the first k *distinct* codes;
+    a mention's ``codes`` array is ordered by each code's first occurrence.
+
+    Declarative formulation (lets Catalyst plan the shuffle once):
+      first_rank = min(rank)            over (mention, code)
+      code_rank  = dense_rank()         over (mention) order by first_rank
+      keep code_rank <= k; codes = collect in first_rank order
+    ``score`` per code = similarity at its first occurrence (max, since
+    ranks are similarity-ordered).
+    """
+    w_code = Window.partitionBy(*MENTION_KEY, "code")
+    w_mention = Window.partitionBy(*MENTION_KEY).orderBy("first_rank")
+
+    ranked = (
+        candidates.withColumn("first_rank", F.min("rank").over(w_code))
+        .withColumn("is_first", F.col("rank") == F.col("first_rank"))
+        .filter("is_first")  # one row per (mention, code)
+        .withColumn("code_rank", F.dense_rank().over(w_mention))
+        .filter(F.col("code_rank") <= F.lit(k))
+    )
+    return ranked.select(
+        *MENTION_KEY,
+        "span",
+        (F.col("code_rank") - 1).alias("code_rank0"),
+        "code",
+        "score",
+    )
+
+
+def link_mentions(
+    mentions: DataFrame,
+    indexes: dict[str, TermIndex],
+    k: int,
+    embedder: HashEmbedder | None = None,
+) -> DataFrame:
+    """Full linking stage: mentions -> (mention key, span, codes, scores),
+    codes ordered by first occurrence (reference output contract:
+    ``mentions_normalization.py:158-161``)."""
+    cands = knn_candidates(mentions, indexes, embedder=embedder)
+    topk = k_distinct_codes(cands, k)
+    return (
+        topk.groupBy(*MENTION_KEY, "span")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("code_rank0", "code", "score"))
+                ),
+                lambda s: s["code"],
+            ).alias("codes"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("code_rank0", "code", "score"))
+                ),
+                lambda s: s["score"],
+            ).alias("scores"),
+        )
+    )

@@ -1,0 +1,90 @@
+"""NER stage: pages -> mentions, as a vectorized ``mapInPandas`` operator.
+
+Spark-first re-expression of the reference NER batch
+(`/root/reference/server/ner/scripts/mentions_detection.py:130-293`):
+logical plan is Scan -> (optional repartition) -> PythonMapInArrow ->
+mentions. There is no shuffle at word/subtoken grain — tokenization, model
+scoring and span decode all happen inside one Arrow-batched UDF at
+per-document granularity, exactly the granularity at which the reference
+batches its model (SURVEY.md §3.2).
+
+Scale posture:
+- model/matcher state is built once from the broadcast gazetteer per
+  python worker (iterator-of-batches pattern), never per row/batch;
+- ``repartition(n, xxhash64(url))`` evens out giant pages before the UDF
+  (north_rule skew handling); n defaults to the session shuffle
+  parallelism — at 100 TB the caller sizes it so one partition's text fits
+  executor memory;
+- output carries only mention rows (UDTF-shaped: one page row -> n mention
+  rows), so the giant ``text``/``html`` columns are pruned immediately
+  after the UDF; column pruning pushes the scan down to (url, text).
+
+Pluggable model: any provider exposing ``find_mentions(text) ->
+[(label, start, end, span)]`` works; the default is the deterministic
+DictionaryMatcher surrogate (real transformer weights are absent from the
+reference repo — SURVEY.md §2.9 determinism note).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.matcher import DictionaryMatcher
+
+MENTIONS_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+        T.StructField("span", T.StringType(), False),
+    ]
+)
+
+
+def detect_mentions(
+    pages: DataFrame,
+    gazetteer_pdf: pd.DataFrame,
+    num_partitions: int | None = None,
+    text_col: str = "text",
+    url_col: str = "url",
+) -> DataFrame:
+    """pages(url, text, ...) -> mentions(url, label, start, end, span).
+
+    Labels are upper-cased on output (reference
+    ``mentions_detection.py:272``). Mention key (url, start, end, label)
+    is unique by construction (non-overlap per label within a doc).
+    """
+    spark = pages.sparkSession
+    terms_by_label = {
+        str(label): list(sub["term"])
+        for label, sub in gazetteer_pdf.groupby("label")
+    }
+    bc = spark.sparkContext.broadcast(terms_by_label)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        matcher = DictionaryMatcher(bc.value)  # once per python worker
+        for pdf in batches:
+            rows: list[tuple] = []
+            for url, text in zip(pdf[url_col], pdf[text_col]):
+                for label, start, end, span in matcher.find_mentions(text):
+                    rows.append((url, label.upper(), start, end, span))
+            yield pd.DataFrame(
+                rows, columns=["url", "label", "start", "end", "span"]
+            )
+
+    projected = pages.select(
+        F.col(url_col).alias(url_col), F.col(text_col).alias(text_col)
+    )
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    # Range-partition on the url hash: giant pages spread uniformly, and
+    # the partitioning is stable/deterministic for lineage + resume.
+    balanced = projected.repartitionByRange(n, F.xxhash64(url_col))
+    return balanced.mapInPandas(run, schema=MENTIONS_SCHEMA)

@@ -1,0 +1,138 @@
+"""The end-to-end KG-construction plan:
+
+    pages --(NER UDF)--> mentions --(embed+kNN+W3)--> linked
+          --(alias CC)--> entities/code2entity
+          --(materialize)--> triples + edges
+
+Each arrow is a checkpointed stage (plans/catalog.py): killed runs resume
+from the last published snapshot without recomputation; every stage logs
+per-partition lineage counters. This is the Spark collapse of the
+reference's three-process Flask/Celery/Mongo lifecycle (SURVEY.md §3.1):
+the whole service path becomes one spark-submit driver program.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.embedder import HashEmbedder
+from ..operators.linking import build_indexes, link_mentions
+from ..operators.ner import detect_mentions
+from ..operators.triples import build_entities, build_triples
+from .catalog import CheckpointCatalog
+
+
+@dataclass
+class PipelineResult:
+    mentions: DataFrame
+    linked: DataFrame
+    entities: DataFrame
+    triples: DataFrame
+    edges: DataFrame
+
+
+def _sig(*parts) -> str:
+    return "|".join(str(p) for p in parts)
+
+
+def run_pipeline(
+    spark: SparkSession,
+    pages: DataFrame,
+    gazetteer_pdf: pd.DataFrame,
+    k: int = 3,
+    checkpoint_dir: str | None = None,
+    embedder: HashEmbedder | None = None,
+    num_partitions: int | None = None,
+    input_sig: str | None = None,
+) -> PipelineResult:
+    """Run pages -> triples. When ``checkpoint_dir`` is set, every stage is
+    snapshot-checkpointed and resumable; otherwise the plan runs fully lazy
+    (single Catalyst plan, useful for benchmarking raw throughput).
+
+    ``input_sig`` identifies the input for resume purposes (e.g. the source
+    table's snapshot id); defaults to a shape-based signature.
+    """
+    embedder = embedder or HashEmbedder()
+    gaz_sig = f"gaz{len(gazetteer_pdf)}"
+    input_sig = input_sig or _sig("pages", pages.schema.simpleString())
+    cat = (
+        CheckpointCatalog(spark, checkpoint_dir) if checkpoint_dir else None
+    )
+
+    gazetteer_df = spark.createDataFrame(
+        gazetteer_pdf[["label", "code", "term", "semantic_tag"]]
+    )
+
+    def _mentions() -> DataFrame:
+        return detect_mentions(
+            pages, gazetteer_pdf, num_partitions=num_partitions
+        )
+
+    mentions = (
+        cat.stage("mentions", _sig(input_sig, gaz_sig), _mentions)
+        if cat
+        else _mentions()
+    )
+
+    indexes = build_indexes(gazetteer_pdf, k=k, embedder=embedder)
+
+    def _linked() -> DataFrame:
+        return link_mentions(mentions, indexes, k=k, embedder=embedder)
+
+    linked = (
+        cat.stage("linked", _sig(input_sig, gaz_sig, k), _linked)
+        if cat
+        else _linked()
+    )
+
+    entities_df, code2entity = build_entities(gazetteer_df)
+    if cat:
+        entities_df = cat.stage(
+            "entities", _sig(gaz_sig), lambda: entities_df
+        )
+        code2entity = cat.stage(
+            "code2entity", _sig(gaz_sig), lambda: code2entity
+        )
+
+    triples, edges = build_triples(linked, code2entity)
+    if cat:
+        triples = cat.stage(
+            "triples", _sig(input_sig, gaz_sig, k), lambda: triples
+        )
+        edges = cat.stage(
+            "edges", _sig(input_sig, gaz_sig, k), lambda: edges
+        )
+
+    return PipelineResult(
+        mentions=mentions,
+        linked=linked,
+        entities=entities_df,
+        triples=triples,
+        edges=edges,
+    )
+
+
+def verify_invariants(result: PipelineResult) -> dict[str, int]:
+    """The reference's runtime asserts as validation queries (SURVEY.md §5.1):
+    returns violation counts (all must be 0)."""
+    dup_mentions = (
+        result.mentions.groupBy("url", "start", "end", "label")
+        .count()
+        .filter("count > 1")
+        .count()
+    )
+    empty_span = result.mentions.filter(F.length("span") == 0).count()
+    bad_offsets = result.mentions.filter("start >= end").count()
+    dup_edges = (
+        result.edges.groupBy("src", "rel", "dst").count().filter("count > 1").count()
+    )
+    return {
+        "dup_mention_keys": dup_mentions,
+        "empty_spans": empty_span,
+        "bad_offsets": bad_offsets,
+        "dup_edges": dup_edges,
+    }
