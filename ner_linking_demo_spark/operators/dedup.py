@@ -1,0 +1,330 @@
+"""Deduplication operators for large-scale text corpora.
+
+These are the training-data-pipeline extensions layered on the engine
+(driver brief: dedup is first-class alongside SURVEY.md §2). All variants
+are pure DataFrame/Catalyst expressions — no Python in the hot path — so
+predicate pushdown, partial aggregation and AQE apply unchanged at 100 TB.
+
+Cross-engine determinism: every hash is ``md5`` of an explicit string,
+which DuckDB computes identically — the correctness harness compares
+value-for-value, not just shape.
+
+Scale notes:
+- exact dedup: one shuffle on the content hash; map-side combine absorbs
+  heavy duplication (the common case in web corpora).
+- MinHash+LSH: candidate generation is a self-join on band keys — the
+  classic bucket join. Bands are exploded so one giant bucket (boilerplate
+  pages) skews a single key; AQE skew-join splits it, and ``max_bucket``
+  caps pathological buckets explicitly (dropped buckets are *reported*,
+  not silent — see ``lsh_bucket_stats``).
+- verification joins (exact Jaccard on candidate pairs) broadcast nothing:
+  both sides are mention-scale; the join key is the pair id.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def _tokens(text: Column) -> Column:
+    return F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != "")
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep one representative (min id) per exact content hash.
+    Adds ``content_hash`` and ``dup_count``."""
+    h = F.md5(F.col(text_col)).alias("content_hash")
+    w = Window.partitionBy("content_hash")
+    return (
+        df.withColumn("content_hash", h)
+        .withColumn("dup_count", F.count(F.lit(1)).over(w))
+        .withColumn("_rn", F.row_number().over(w.orderBy(id_col)))
+        .filter("_rn = 1")
+        .drop("_rn")
+    )
+
+
+def word_shingles(text: Column, size: int = 3) -> Column:
+    """Word w-shingles (space-joined token n-grams), distinct."""
+    toks = _tokens(text)
+    n = F.size(toks)
+    grams = F.when(
+        n >= size,
+        F.transform(
+            F.sequence(F.lit(1), n - size + 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, size)),
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+    return F.array_distinct(grams)
+
+
+def minhash_signature(
+    text: Column, n_hashes: int = 16, shingle_size: int = 3
+) -> Column:
+    """MinHash signature as array<string>: element i = lexicographic min of
+    ``md5(i || '|' || shingle)`` over the document's shingles. Fixed-width
+    hex compares like the underlying 128-bit integer, and DuckDB reproduces
+    it verbatim."""
+    sh = word_shingles(text, shingle_size)
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(
+            F.transform(
+                sh, lambda s: F.md5(F.concat(i.cast("string"), F.lit("|"), s))
+            )
+        ),
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.7,
+    max_bucket: int = 1000,
+) -> DataFrame:
+    """Near-duplicate pairs via MinHash banding + exact-Jaccard verify.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b, jaccard >= threshold.
+    Buckets larger than ``max_bucket`` are dropped (boilerplate guard);
+    callers audit drops via :func:`lsh_bucket_stats`.
+    """
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(F.col(text_col), n_hashes, shingle_size)
+    with_sig = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text"), sig.alias("sig")
+    )
+    banded = with_sig.select(
+        "id",
+        "text",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    )
+                ),
+            )
+        ).alias("band", "bucket"),
+    )
+    w = Window.partitionBy("band", "bucket")
+    banded = banded.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(
+        F.col("bsz") <= max_bucket
+    )
+    a = banded.select(
+        F.col("band"), F.col("bucket"), F.col("id").alias("id_a"),
+        F.col("text").alias("text_a"),
+    )
+    b = banded.select(
+        F.col("band"), F.col("bucket"), F.col("id").alias("id_b"),
+        F.col("text").alias("text_b"),
+    )
+    pairs = (
+        a.join(b, ["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "text_a", "text_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sh_a = word_shingles(F.col("text_a"), shingle_size)
+    sh_b = word_shingles(F.col("text_b"), shingle_size)
+    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    return (
+        pairs.withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def lsh_bucket_stats(
+    df: DataFrame,
+    text_col: str = "text",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+) -> DataFrame:
+    """Bucket-size histogram per band — the skew observability companion to
+    :func:`minhash_lsh_pairs` (no silent caps)."""
+    rows_per_band = n_hashes // bands
+    sig = minhash_signature(F.col(text_col), n_hashes, shingle_size)
+    banded = df.select(sig.alias("sig")).select(
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.md5(
+                    F.concat_ws(
+                        ",", F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+                    )
+                ),
+            )
+        ).alias("band", "bucket")
+    )
+    return (
+        banded.groupBy("band", "bucket")
+        .count()
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.max("count").alias("max_bucket"),
+            F.avg("count").alias("avg_bucket"),
+        )
+        .orderBy("band")
+    )
+
+
+def simhash64(text: Column, prefix_bits: int = 32) -> Column:
+    """SimHash over whitespace tokens: token hash = first ``prefix_bits``
+    bits of md5(token); simhash bit b = sign of sum over tokens of
+    (+1 if bit set else -1). Returns a BIGINT. Pure Catalyst expressions
+    (conv + bit ops inside nested higher-order functions), so whole-stage
+    codegen applies; DuckDB reproduces the same value from the same md5.
+    """
+    toks = _tokens(text)
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t), 1, prefix_bits // 4), 16, 10).cast(
+            "long"
+        ),
+    )
+    def bit_sum(b: int) -> Column:
+        return F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
+        )
+
+    out = F.lit(0).cast("long")
+    for b in range(prefix_bits):
+        out = out + F.when(bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+    return out
+
+
+def simhash_neardup_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    prefix_bits: int = 32,
+    band_bits: int = 8,
+) -> DataFrame:
+    """Near-dup pairs by SimHash: block on byte-bands of the simhash (a
+    pair within hamming distance d shares at least one of ceil(bits/band)
+    bands when d < n_bands), verify with exact popcount."""
+    n_bands = prefix_bits // band_bits
+    with_h = df.select(
+        F.col(id_col).alias("id"), simhash64(F.col(text_col), prefix_bits).alias("h")
+    )
+    banded = with_h.select(
+        "id",
+        "h",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned(F.col("h"), b * band_bits).bitwiseAND(
+                        F.lit((1 << band_bits) - 1)
+                    )
+                    for b in range(n_bands)
+                ]
+            )
+        ).alias("band", "key"),
+    )
+    a = banded.select("band", "key", F.col("id").alias("id_a"), F.col("h").alias("h_a"))
+    b = banded.select("band", "key", F.col("id").alias("id_b"), F.col("h").alias("h_b"))
+    pairs = (
+        a.join(b, ["band", "key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "h_a", "h_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return pairs.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("id_a", "id_b", "hamming")
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    block_col: str | None = None,
+    n: int = 4,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Character-n-gram Jaccard similarity over blocked pairs.
+
+    ``block_col`` bounds the self-join (e.g. a source/host/length bucket);
+    at web scale an unblocked all-pairs join is never acceptable — use
+    MinHash-LSH instead when no natural block exists."""
+    grams = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.greatest(F.length(F.col(text_col)) - n + 1, F.lit(1)),
+            ),
+            lambda i: F.substring(F.col(text_col), i, n),
+        )
+    )
+    base = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
+        grams.alias("grams"),
+    )
+    a = base.select(
+        F.col("blk"), F.col("id").alias("id_a"), F.col("grams").alias("g_a")
+    )
+    b = base.select(
+        F.col("blk"), F.col("id").alias("id_b"), F.col("grams").alias("g_b")
+    )
+    inter = F.size(F.array_intersect(F.col("g_a"), F.col("g_b"))).cast("double")
+    union = F.size(F.array_union(F.col("g_a"), F.col("g_b"))).cast("double")
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("jaccard", inter / union)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = "label",
+    threshold: float = 0.95,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine similarity, blocked self-join
+    (native zip_with/aggregate arithmetic, JVM-side)."""
+    base = df.select(
+        F.col(id_col).alias("id"),
+        (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
+        F.col(emb_col).alias("v"),
+    )
+    a = base.select("blk", F.col("id").alias("id_a"), F.col("v").alias("v_a"))
+    b = base.select("blk", F.col("id").alias("id_b"), F.col("v").alias("v_b"))
+    dot = F.aggregate(
+        F.zip_with(F.col("v_a"), F.col("v_b"), lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    norm = lambda c: F.sqrt(  # noqa: E731
+        F.aggregate(c, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", dot / (norm(F.col("v_a")) * norm(F.col("v_b"))))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,124 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, per the training-data-pipeline brief:
+- brute-force cosine top-k: the exactness baseline, pure Catalyst
+  (zip_with dot product, one window/orderBy) — at 100 TB this is one
+  full scan + a top-k aggregation, no shuffle of the embeddings
+  themselves (top-k via ``orderBy(...).limit(k)`` is a partial top-k
+  per partition + driver merge in Spark's TakeOrderedAndProject);
+- LSH-bucketed ANN (random hyperplanes): the scale path — queries only
+  probe their own bucket (and optionally neighbouring buckets by one-bit
+  flips), turning a full scan into a bucket-local scan. Hyperplanes are
+  seeded + broadcast; sign-bit computation is native Catalyst arithmetic.
+
+The signed-hyperplane construction mirrors the classic SimHash-for-cosine
+scheme (Charikar '02); recall is tested against the brute-force baseline
+in tests/test_similarity.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0).cast("double"), lambda acc, x: acc + x * x)
+    )
+
+
+def cosine_similarity(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    df: DataFrame,
+    query: list[float] | np.ndarray,
+    k: int = 10,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact cosine top-k for one query vector. Deterministic total order:
+    (cosine desc, id asc)."""
+    qcol = F.array(*[F.lit(float(x)) for x in np.asarray(query)])
+    scored = df.select(
+        F.col(id_col).alias("vec_id"),
+        cosine_similarity(F.col(emb_col).cast("array<double>"), qcol).alias(
+            "cosine"
+        ),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)
+
+
+def hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).astype(np.float64)
+
+
+def lsh_bucket_expr(emb_col: Column, planes: np.ndarray) -> Column:
+    """Sign-bit bucket id of an embedding under the given hyperplanes —
+    native arithmetic, no UDF."""
+    bucket = F.lit(0).cast("long")
+    for b, plane in enumerate(planes):
+        pcol = F.array(*[F.lit(float(x)) for x in plane])
+        bucket = bucket + F.when(
+            _dot(emb_col, pcol) > 0, F.lit(1 << b).cast("long")
+        ).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_index(
+    df: DataFrame,
+    planes: np.ndarray,
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Materialize bucket ids (persist/bucket-write this at scale so query
+    jobs prune to matching buckets only)."""
+    return df.withColumn(
+        "bucket", lsh_bucket_expr(F.col(emb_col).cast("array<double>"), planes)
+    )
+
+
+def lsh_topk(
+    indexed: DataFrame,
+    query: list[float] | np.ndarray,
+    planes: np.ndarray,
+    k: int = 10,
+    probe_bits: int = 1,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """ANN top-k: scan only the query's bucket plus all buckets within
+    ``probe_bits`` bit flips (multi-probe), then exact cosine rank."""
+    q = np.asarray(query, dtype=np.float64)
+    qbits = 0
+    for b, plane in enumerate(planes):
+        if float(q @ plane) > 0:
+            qbits |= 1 << b
+    buckets = {qbits}
+    if probe_bits >= 1:
+        for b in range(len(planes)):
+            buckets.add(qbits ^ (1 << b))
+    if probe_bits >= 2:
+        for b1 in range(len(planes)):
+            for b2 in range(b1 + 1, len(planes)):
+                buckets.add(qbits ^ (1 << b1) ^ (1 << b2))
+    cand = indexed.filter(F.col("bucket").isin([int(x) for x in buckets]))
+    qcol = F.array(*[F.lit(float(x)) for x in q])
+    scored = cand.select(
+        F.col(id_col).alias("vec_id"),
+        cosine_similarity(F.col(emb_col).cast("array<double>"), qcol).alias(
+            "cosine"
+        ),
+    )
+    return scored.orderBy(F.desc("cosine"), F.asc("vec_id")).limit(k)

@@ -1,0 +1,947 @@
+"""Driver-contract query catalog: one entry per implemented operator
+family (SURVEY.md §2 + the training-data-pipeline extensions), each with
+an exact DuckDB oracle where SQL can express the semantics.
+
+Conventions keeping Spark and DuckDB value-hash-identical:
+- money/measure aggregates go through decimal(38,10) and are cast to
+  double at the end (float summation order is engine-dependent; decimal
+  is exact, one final conversion is deterministic);
+- every hash is md5 of an explicit string (identical in both engines);
+- every ordering has a deterministic total order (explicit tiebreakers);
+- floating results that involve per-row arithmetic only (no reduction)
+  are rounded to 6 decimals on both sides;
+- all computed columns are aliased identically on both sides.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..functions import text_analysis as TA
+from ..operators import dedup as DD
+from ..operators import similarity as SIM
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dsum(col) -> F.Column:
+    return F.sum(col.cast("decimal(38,10)")).cast("double")
+
+
+@dataclass
+class QueryDef:
+    name: str
+    fn: Callable[[SparkSession, str], DataFrame]
+    sql: str | None  # None => non-SQL-expressible, rows-only check
+
+
+QUERIES: list[QueryDef] = []
+
+
+def q(name: str, sql: str | None):
+    def deco(fn):
+        QUERIES.append(QueryDef(name, fn, sql))
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Relational core (SURVEY.md §2.2-2.7 mapped onto the harness tables)
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "a1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(38,10))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= DATE '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def a1_pricing_summary(spark, sf_dir):
+    """A1-family groupBy aggregation (TPC-H Q1 shape): partial+final agg,
+    predicate pushed to scan."""
+    li = _t(spark, sf_dir, "lineitem")
+    d = F.col("l_discount").cast("decimal(18,4)")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("date"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            F.sum(
+                F.col("l_extendedprice").cast("decimal(18,4)") * (F.lit(1) - d)
+            )
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@q(
+    "j1_revenue_by_nation",
+    """
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+                  JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def j1_revenue_by_nation(spark, sf_dir):
+    """J1 equi-join chain; dimension sides broadcast (customer/nation)."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@q(
+    "j4_part_lookup",
+    """
+    SELECT p.p_type AS p_type,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(38,10))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    GROUP BY p.p_type
+    """,
+)
+def j4_part_lookup(spark, sf_dir):
+    """J4 broadcast dictionary lookup: fact x broadcast(dim)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .groupBy("p_type")
+        .agg(_dsum(F.col("l_extendedprice")).alias("revenue"))
+    )
+
+
+@q(
+    "p1_filter_project",
+    """
+    SELECT event_id, user_id, ROUND(value, 6) AS value
+    FROM events WHERE event_type = 'error' AND value > 150
+    """,
+)
+def p1_filter_project(spark, sf_dir):
+    """P1/P4 filter + projection, pushed to the parquet scan."""
+    ev = _t(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_type") == "error") & (F.col("value") > 150)
+    ).select("event_id", "user_id", F.round("value", 6).alias("value"))
+
+
+@q(
+    "p7_dedup_rows",
+    """
+    SELECT DISTINCT l_returnflag AS flag, l_linestatus AS status FROM lineitem
+    """,
+)
+def p7_dedup_rows(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.select(
+        F.col("l_returnflag").alias("flag"), F.col("l_linestatus").alias("status")
+    ).dropDuplicates()
+
+
+@q(
+    "w1_topk_per_group",
+    """
+    SELECT o_custkey, o_orderkey, ROUND(o_totalprice, 6) AS price, rn
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+)
+def w1_topk_per_group(spark, sf_dir):
+    """W1 windowed top-k per group with explicit total order."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter("rn <= 3")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            F.round("o_totalprice", 6).alias("price"),
+            "rn",
+        )
+    )
+
+
+@q(
+    "w3_k_distinct_scan",
+    """
+    SELECT l_orderkey, l_suppkey, code_rank
+    FROM (
+      SELECT l_orderkey, l_suppkey, first_rank,
+             DENSE_RANK() OVER (PARTITION BY l_orderkey ORDER BY first_rank) AS code_rank
+      FROM (
+        SELECT DISTINCT l_orderkey, l_suppkey,
+               MIN(l_linenumber) OVER (PARTITION BY l_orderkey, l_suppkey) AS first_rank
+        FROM lineitem
+      )
+    ) WHERE code_rank <= 2
+    """,
+)
+def w3_k_distinct_scan(spark, sf_dir):
+    """W3 — the reference's k-distinct-codes scan semantic
+    (faisslm.py:219-248) over harness data: per order, the first 2
+    distinct suppliers in line-number order."""
+    li = _t(spark, sf_dir, "lineitem")
+    w_fr = Window.partitionBy("l_orderkey", "l_suppkey")
+    w_dr = Window.partitionBy("l_orderkey").orderBy("first_rank")
+    return (
+        li.select("l_orderkey", "l_suppkey", "l_linenumber")
+        .withColumn("first_rank", F.min("l_linenumber").over(w_fr))
+        .select("l_orderkey", "l_suppkey", "first_rank")
+        .dropDuplicates()
+        .withColumn("code_rank", F.dense_rank().over(w_dr))
+        .filter("code_rank <= 2")
+        .select("l_orderkey", "l_suppkey", "code_rank")
+    )
+
+
+@q(
+    "w8_sessionize",
+    """
+    SELECT user_id, session_id, COUNT(*) AS n_events,
+           MIN(event_id) AS first_event
+    FROM (
+      SELECT user_id, event_id,
+             CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM (
+        SELECT user_id, event_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         <= INTERVAL 30 MINUTE THEN 0 ELSE 1 END AS is_new
+        FROM events
+      )
+    ) GROUP BY user_id, session_id
+    """,
+)
+def w8_sessionize(spark, sf_dir):
+    """W8 sessionization (the windowed formulation of the reference's IOB
+    span scan, SURVEY.md §2.5): 30-minute-gap sessions per user."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts") - F.lag("ts").over(w)
+    is_new = F.when(
+        gap <= F.expr("INTERVAL 30 MINUTES"), F.lit(0)
+    ).otherwise(F.lit(1))
+    sess = F.sum("is_new").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        ev.withColumn("is_new", is_new)
+        .withColumn("session_id", sess)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("event_id").alias("first_event"),
+        )
+    )
+
+
+@q(
+    "j3_interval_self_join",
+    """
+    SELECT a.user_id AS user_id, a.event_id AS id_a, b.event_id AS id_b
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+     AND b.ts >= a.ts AND b.ts < a.ts + INTERVAL 5 MINUTE
+    """,
+)
+def j3_interval_self_join(spark, sf_dir):
+    """J3 interval/theta self-join: same-user event pairs within 5 min."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "event_id", "ts")
+    a = ev.select(
+        F.col("user_id"), F.col("event_id").alias("id_a"), F.col("ts").alias("ts_a")
+    )
+    b = ev.select(
+        F.col("user_id"), F.col("event_id").alias("id_b"), F.col("ts").alias("ts_b")
+    )
+    return (
+        a.join(b, "user_id")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.col("ts_b") >= F.col("ts_a"))
+            & (F.col("ts_b") < F.col("ts_a") + F.expr("INTERVAL 5 MINUTES"))
+        )
+        .select("user_id", "id_a", "id_b")
+    )
+
+
+@q(
+    "a2_group_concat",
+    """
+    SELECT r.r_name AS region,
+           STRING_AGG(n.n_name, ',' ORDER BY n.n_name) AS nations
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY r.r_name
+    """,
+)
+def a2_group_concat(spark, sf_dir):
+    """A2 ordered group-concat (code -> synonyms in the reference)."""
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias(
+                "nations"
+            )
+        )
+    )
+
+
+@q(
+    "a6_topk_count_sum",
+    """
+    SELECT CAST(SUM(cnt) AS BIGINT) AS top3_total FROM (
+      SELECT COUNT(*) AS cnt FROM events GROUP BY event_type
+      ORDER BY cnt DESC, event_type ASC LIMIT 3
+    )
+    """,
+)
+def a6_topk_count_sum(spark, sf_dir):
+    """A6 'max_n_texts' shape: sum of counts of the top-3 heaviest groups
+    (faisslm.py:50-69)."""
+    ev = _t(spark, sf_dir, "events")
+    top = (
+        ev.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("event_type"))
+        .limit(3)
+    )
+    return top.agg(F.sum("cnt").cast("long").alias("top3_total"))
+
+
+@q(
+    "a3_log_prob_product",
+    """
+    SELECT l_orderkey,
+           ROUND(EXP(SUM(LN(1 - l_discount + 1e-12))), 6) AS keep_fraction
+    FROM lineitem GROUP BY l_orderkey
+    """,
+)
+def a3_log_prob_product(spark, sf_dir):
+    """A3 probability-product aggregation (subtoken->word prob reduce):
+    product via exp(sum(log)) — groups are small so float error is
+    below the rounding."""
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_orderkey").agg(
+        F.round(
+            F.exp(F.sum(F.log(F.lit(1) - F.col("l_discount") + F.lit(1e-12)))), 6
+        ).alias("keep_fraction")
+    )
+
+
+@q(
+    "u1_union_distinct",
+    """
+    SELECT l_returnflag AS v FROM lineitem
+    UNION
+    SELECT l_linestatus FROM lineitem
+    """,
+)
+def u1_union_distinct(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(F.col("l_returnflag").alias("v"))
+        .union(li.select("l_linestatus"))
+        .distinct()
+    )
+
+
+@q(
+    "u4_anti_join",
+    """
+    SELECT c_custkey FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def u4_anti_join(spark, sf_dir):
+    """U4/P5 negative-sampling shape: left-anti join."""
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(
+        o, c.c_custkey == o.o_custkey, "left_anti"
+    ).select("c_custkey")
+
+
+@q(
+    "f3_substring_offsets",
+    """
+    SELECT doc_id, substr(text, 11, 20) AS snippet, length(text) AS n_cp
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def f3_substring_offsets(spark, sf_dir):
+    """F3 code-point substring semantics (offset fidelity)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.filter("doc_id < 50").select(
+        "doc_id",
+        F.substring("text", 11, 20).alias("snippet"),
+        F.length("text").alias("n_cp"),
+    )
+
+
+@q(
+    "f4_location_roundtrip",
+    """
+    SELECT event_id,
+           CAST(string_split(loc, ' ')[1] AS BIGINT) AS start_back,
+           CAST(string_split(loc, ' ')[2] AS BIGINT) AS end_back
+    FROM (
+      SELECT event_id, CAST(user_id AS VARCHAR) || ' ' ||
+             CAST(user_id + 7 AS VARCHAR) AS loc
+      FROM events WHERE event_id < 200
+    )
+    """,
+)
+def f4_location_roundtrip(spark, sf_dir):
+    """F4 BRAT-style location string encode/decode round trip."""
+    ev = _t(spark, sf_dir, "events").filter("event_id < 200")
+    enc = ev.select(
+        "event_id",
+        F.concat_ws(
+            " ", F.col("user_id"), (F.col("user_id") + 7)
+        ).alias("loc"),
+    )
+    parts = F.split("loc", " ")
+    return enc.select(
+        "event_id",
+        parts.getItem(0).cast("long").alias("start_back"),
+        parts.getItem(1).cast("long").alias("end_back"),
+    )
+
+
+@q(
+    "f6_json_extract",
+    """
+    SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
+    FROM events WHERE event_id < 300
+    """,
+)
+def f6_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events").filter("event_id < 300")
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication family (training-data pipeline brief)
+# ---------------------------------------------------------------------------
+
+_DUPED_DOCS_SQL = """
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id,
+             'xq zv ' || text AS text
+      FROM documents WHERE doc_id % 7 = 0
+"""
+
+
+def _duped_docs(spark, sf_dir):
+    """documents + planted exact dups (every 5th) and near-dups with a
+    2-token prefix edit (every 7th) — deterministic on both engines."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    exact = d.filter("doc_id % 5 = 0").select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text"
+    )
+    near = d.filter("doc_id % 7 = 0").select(
+        (F.col("doc_id") + 200000).alias("doc_id"),
+        F.concat(F.lit("xq zv "), F.col("text")).alias("text"),
+    )
+    return d.unionByName(exact).unionByName(near)
+
+
+@q(
+    "dedup_exact",
+    f"""
+    SELECT doc_id, content_hash, dup_count FROM (
+      SELECT doc_id, md5(text) AS content_hash,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS dup_count,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn
+      FROM ({_DUPED_DOCS_SQL})
+    ) WHERE rn = 1
+    """,
+)
+def dedup_exact(spark, sf_dir):
+    return DD.exact_dedup(_duped_docs(spark, sf_dir)).select(
+        "doc_id", "content_hash", "dup_count"
+    )
+
+
+@q(
+    "dedup_minhash_signature",
+    """
+    SELECT doc_id,
+           list_min(list_transform(sh, s -> md5('0|' || s))) AS s0,
+           list_min(list_transform(sh, s -> md5('1|' || s))) AS s1,
+           list_min(list_transform(sh, s -> md5('2|' || s))) AS s2,
+           list_min(list_transform(sh, s -> md5('3|' || s))) AS s3
+    FROM (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3 THEN
+               list_transform(generate_series(1, len(toks) - 2),
+                              i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS sh
+      FROM (
+        SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks
+        FROM documents WHERE doc_id < 100
+      )
+    )
+    """,
+)
+def dedup_minhash_signature(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 100")
+    sig = DD.minhash_signature(F.col("text"), n_hashes=4, shingle_size=3)
+    return d.select(
+        "doc_id",
+        *[F.element_at(sig, i + 1).alias(f"s{i}") for i in range(4)],
+    )
+
+
+@q(
+    "dedup_minhash_lsh",
+    f"""
+    WITH base AS ({_DUPED_DOCS_SQL}),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3 THEN
+               list_transform(generate_series(1, len(toks) - 2),
+                              i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks
+            FROM base)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                 len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+          len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7
+    """,
+)
+def dedup_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH candidate generation + exact-Jaccard verify. The DuckDB
+    oracle computes ground-truth all-pairs Jaccard >= 0.7; LSH with 4
+    bands x 4 rows has ~100% recall at 0.7 on identical/near-identical
+    texts (verified: results match the all-pairs oracle exactly)."""
+    pairs = DD.minhash_lsh_pairs(
+        _duped_docs(spark, sf_dir),
+        n_hashes=16,
+        bands=4,
+        jaccard_threshold=0.7,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@q(
+    "dedup_simhash",
+    """
+    SELECT doc_id,
+           CAST(list_sum(list_transform(generate_series(0, 31), b ->
+             CASE WHEN list_sum(list_transform(toks, t ->
+               CASE WHEN ((('0x' || substr(md5(t),1,8))::BIGINT >> b) & 1) = 1
+                    THEN 1 ELSE -1 END)) > 0
+             THEN 1::BIGINT << b ELSE 0 END)) AS BIGINT) AS simhash
+    FROM (
+      SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks
+      FROM documents WHERE doc_id < 200
+    )
+    """,
+)
+def dedup_simhash(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 200")
+    return d.select(
+        "doc_id", DD.simhash64(F.col("text"), prefix_bits=32).alias("simhash")
+    )
+
+
+@q("dedup_simhash_pairs", None)  # pair recall tested vs oracle in pytest
+def dedup_simhash_pairs(spark, sf_dir):
+    return DD.simhash_neardup_pairs(
+        _duped_docs(spark, sf_dir), max_hamming=3
+    )
+
+
+@q(
+    "dedup_ngram_jaccard",
+    """
+    WITH g AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               generate_series(1, greatest(length(text) - 3, 1)),
+               i -> substr(text, i, 4))) AS grams
+      FROM documents WHERE doc_id < 120
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.grams, b.grams))::DOUBLE /
+                 len(list_distinct(list_concat(a.grams, b.grams))), 6) AS jaccard
+    FROM g a JOIN g b ON a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+          len(list_distinct(list_concat(a.grams, b.grams))) >= 0.3
+    """,
+)
+def dedup_ngram_jaccard(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 120")
+    pairs = DD.ngram_jaccard_pairs(
+        d, block_col="source", n=4, threshold=0.3
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@q(
+    "dedup_embedding_cosine",
+    """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
+          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
+           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.9
+    """,
+)
+def dedup_embedding_cosine(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = DD.embedding_neardup_pairs(e, block_col="label", threshold=0.9)
+    return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "ann_bruteforce_topk",
+    """
+    SELECT e.vec_id, ROUND(
+             list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))), 6) AS cosine
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    ORDER BY list_dot_product(e.embedding::DOUBLE[], q.embedding::DOUBLE[]) /
+             (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) *
+              sqrt(list_dot_product(q.embedding::DOUBLE[], q.embedding::DOUBLE[]))) DESC,
+             e.vec_id ASC
+    LIMIT 10
+    """,
+)
+def ann_bruteforce_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = (
+        e.filter("vec_id = 0").select("embedding").head()[0]
+    )
+    top = SIM.brute_force_topk(e, qvec, k=10)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@q("ann_lsh_topk", None)  # recall vs brute force tested in pytest
+def ann_lsh_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    qvec = e.filter("vec_id = 0").select("embedding").head()[0]
+    planes = SIM.hyperplanes(dim=len(qvec), n_planes=8)
+    indexed = SIM.lsh_index(e, planes)
+    top = SIM.lsh_topk(indexed, qvec, planes, k=10, probe_bits=1)
+    return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(trim(text), '\\S+')) AS n_tokens,
+           len(regexp_extract_all(text,
+               '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]')) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_count(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TA.token_count(F.col("text")).alias("n_tokens"),
+        TA.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+    )
+
+
+_ES_SQL = "['" + "','".join(TA.ES_STOPWORDS) + "']"
+_EN_SQL = "['" + "','".join(TA.EN_STOPWORDS) + "']"
+
+
+@q(
+    "text_lang_id",
+    f"""
+    SELECT doc_id,
+           CASE WHEN es > en AND es > 0 THEN 'es'
+                WHEN en > es AND en > 0 THEN 'en'
+                ELSE 'unknown' END AS lang_pred
+    FROM (
+      SELECT doc_id,
+             len(list_filter(toks, t -> list_contains({_ES_SQL}, t))) AS es,
+             len(list_filter(toks, t -> list_contains({_EN_SQL}, t))) AS en
+      FROM (SELECT doc_id,
+                   list_transform(regexp_extract_all(trim(text), '\\S+'),
+                                  t -> lower(t)) AS toks
+            FROM documents)
+    )
+    """,
+)
+def text_lang_id(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", TA.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@q(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+           md5(substr(text, 1, 16)) AS fp_head
+    FROM documents
+    """,
+)
+def text_fingerprint(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        TA.content_fingerprint(F.col("text")).alias("fp"),
+        F.element_at(
+            TA.rolling_fingerprints(F.col("text"), window=16, every=10**9), 1
+        ).alias("fp_head"),
+    )
+
+
+@q("text_quality_score", None)  # composite float heuristic; rows-only
+def text_quality_score(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", F.round(TA.quality_score(F.col("text")), 6).alias("quality")
+    )
+
+
+# ---------------------------------------------------------------------------
+# KG pipeline + graph (core engine) entries
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "kg_connected_components",
+    """
+    WITH RECURSIVE e AS (
+      SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+             's' || CAST(l_suppkey AS VARCHAR) AS dst
+      FROM lineitem WHERE l_orderkey < 200
+    ),
+    bi AS (SELECT src, dst FROM e UNION SELECT dst, src FROM e),
+    r(node, lbl) AS (
+      SELECT src, src FROM bi
+      UNION
+      SELECT bi.dst, r.lbl FROM r JOIN bi ON bi.src = r.node
+    )
+    SELECT node, MIN(lbl) AS component FROM r GROUP BY node
+    """,
+)
+def kg_connected_components(spark, sf_dir):
+    """Connected components (canonicalization core) on a bipartite
+    part<->supplier graph; DuckDB oracle = recursive label closure."""
+    from ..operators.canonicalize import connected_components
+
+    li = _t(spark, sf_dir, "lineitem").filter("l_orderkey < 200")
+    edges = li.select(
+        F.concat(F.lit("p"), F.col("l_partkey").cast("string")).alias("src"),
+        F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+    ).dropDuplicates()
+    return connected_components(edges)
+
+
+def _docs_as_pages(spark, sf_dir, limit: int | None = None):
+    d = _t(spark, sf_dir, "documents")
+    if limit:
+        d = d.filter(f"doc_id < {limit}")
+    return d.select(
+        F.concat(F.lit("doc://"), F.col("doc_id").cast("string")).alias("url"),
+        F.col("text"),
+    )
+
+
+def _harness_gazetteer():
+    """Deterministic mini-gazetteer over the harness documents' vocabulary
+    (the docs are OLAP word salads — we treat engine terms as 'entities')."""
+    import pandas as pd
+
+    disease = [  # label names are roles, not medicine, for the harness
+        ("900001", "hash join"),
+        ("900002", "sort merge join"),
+        ("900003", "broadcast join"),
+        ("900004", "shuffle"),
+        ("900005", "spill"),
+        ("900006", "skew"),
+    ]
+    procedure = [
+        ("910001", "group by"),
+        ("910002", "order by"),
+        ("910003", "window"),
+        ("910004", "filter"),
+        ("910005", "scan"),
+        ("910006", "aggregate"),
+    ]
+    rows = []
+    for label, pairs in (("disease", disease), ("procedure", procedure)):
+        for code, term in pairs:
+            rows.append(
+                {
+                    "label": label,
+                    "code": code,
+                    "term": term,
+                    "semantic_tag": label,
+                    "mainterm": True,
+                    "language": "en",
+                }
+            )
+    return pd.DataFrame(rows)
+
+
+@q("kg_detect_mentions", None)  # offset tokenization: not SQL-expressible
+def kg_detect_mentions(spark, sf_dir):
+    from ..operators.ner import detect_mentions
+
+    return detect_mentions(
+        _docs_as_pages(spark, sf_dir), _harness_gazetteer()
+    )
+
+
+@q("kg_link_mentions", None)
+def kg_link_mentions(spark, sf_dir):
+    from ..operators.linking import build_indexes, link_mentions
+    from ..operators.ner import detect_mentions
+
+    gaz = _harness_gazetteer()
+    mentions = detect_mentions(_docs_as_pages(spark, sf_dir), gaz)
+    linked = link_mentions(mentions, build_indexes(gaz, k=3), k=3)
+    return linked.select(
+        "url", "start", "end", "label", "span",
+        F.to_json("codes").alias("codes_json"),
+    )
+
+
+@q("kg_triples_e2e", None)
+def kg_triples_e2e(spark, sf_dir):
+    from ..plans.pipeline import run_pipeline
+
+    res = run_pipeline(
+        spark, _docs_as_pages(spark, sf_dir), _harness_gazetteer(), k=3
+    )
+    return res.triples.select(
+        "subj", "pred", "obj", "code", "rank", "start", "end", "span",
+        F.round("score", 5).alias("score_r"),
+    )
+
+
+@q("kg_disambiguation", None)  # seeded RNG semantic; parity vs reference in pytest
+def kg_disambiguation(spark, sf_dir):
+    from ..functions.gazetteer import disambiguate_terms_df
+
+    gaz = _harness_gazetteer()
+    # plant ambiguity deterministically
+    import pandas as pd
+
+    amb = gaz.head(3).copy()
+    amb["code"] = [str(int(c) + 5000) for c in amb["code"]]
+    return disambiguate_terms_df(
+        spark.createDataFrame(pd.concat([gaz, amb]))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+@q(
+    "mm_media_meta",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5
+    FROM documents
+    """,
+)
+def mm_media_meta(spark, sf_dir):
+    from ..operators.multimodal import media_from_documents
+
+    d = _t(spark, sf_dir, "documents")
+    media = media_from_documents(d)
+    return media.select(
+        "doc_id",
+        F.length("media").alias("n_bytes"),
+        F.md5(F.decode("media", "utf-8")).alias("payload_md5"),
+    )
+
+
+@q("mm_extract_features", None)  # binary decode plumbing; rows-only
+def mm_extract_features(spark, sf_dir):
+    from ..operators.multimodal import extract_features, media_from_documents
+
+    d = _t(spark, sf_dir, "documents")
+    feats = extract_features(media_from_documents(d))
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+    )
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {qd.name: qd.fn for qd in QUERIES}
+
+
+def oracle_sql() -> dict[str, str]:
+    return {qd.name: qd.sql for qd in QUERIES if qd.sql is not None}

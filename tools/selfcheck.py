@@ -1,0 +1,109 @@
+"""Local replica of the driver's correctness gate: run every
+``queries()`` entry on Spark and its ``oracle_sql()`` in DuckDB at the
+same sf, compare row count + sorted-by-name columns + order-insensitive
+value hash. Usage: python tools/selfcheck.py [sf_dir] [name_filter]."""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        col = df[c]
+        if col.dtype == object:
+            df[c] = col.map(
+                lambda v: str(sorted(v) if isinstance(v, set) else
+                              list(v) if hasattr(v, "__len__") and not isinstance(v, str) else v)
+            )
+        elif str(col.dtype).startswith("float"):
+            df[c] = col.round(9).map(lambda v: f"{v:.9f}")
+        else:
+            df[c] = col.map(str)
+    rows = sorted("\x1f".join(r) for r in df.itertuples(index=False, name=None))
+    return hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    name_filter = sys.argv[2] if len(sys.argv) > 2 else ""
+
+    import __spark_entry__ as E
+    from ner_linking_demo_spark.session import get_spark
+
+    spark = get_spark(app_name="selfcheck")
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    qs = E.queries()
+    oracles = E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if name_filter and name_filter not in name:
+            continue
+        t0 = time.time()
+        try:
+            spark_df = fn(spark, sf_dir).toPandas()
+        except Exception as ex:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error {str(ex)[:300]}")
+            continue
+        if name not in oracles:
+            print(
+                f"ok?  {name}: rows-only ({len(spark_df)} rows, "
+                f"{time.time()-t0:.1f}s)"
+            )
+            if len(spark_df) == 0 and not name.startswith("u4"):
+                print(f"     WARNING: zero rows for {name}")
+            continue
+        try:
+            duck_df = con.execute(oracles[name]).df()
+        except Exception as ex:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error {str(ex)[:300]}")
+            continue
+        ok_rows = len(spark_df) == len(duck_df)
+        ok_cols = sorted(spark_df.columns) == sorted(duck_df.columns)
+        h_s = value_hash(spark_df)
+        h_d = value_hash(duck_df)
+        ok_vals = h_s == h_d
+        status = "PASS" if (ok_rows and ok_cols and ok_vals) else "FAIL"
+        if status == "FAIL":
+            failures.append(name)
+        print(
+            f"{status} {name}: rows {len(spark_df)}/{len(duck_df)} "
+            f"cols={ok_cols} hash={'=' if ok_vals else '!'} "
+            f"({time.time()-t0:.1f}s)"
+        )
+        if not ok_vals and ok_rows and ok_cols and len(spark_df) > 0:
+            s = spark_df[sorted(spark_df.columns)].sort_values(
+                sorted(spark_df.columns)).reset_index(drop=True)
+            d = duck_df[sorted(duck_df.columns)].sort_values(
+                sorted(duck_df.columns)).reset_index(drop=True)
+            neq = (s.astype(str) != d.astype(str)).any(axis=1)
+            print("  first diffs:")
+            print(pd.concat([s[neq].head(3), d[neq].head(3)], axis=1).to_string()[:1200])
+    print(f"\n{len(failures)} failures: {failures}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
