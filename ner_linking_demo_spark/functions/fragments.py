@@ -1,0 +1,76 @@
+"""M1: subword tokenization + fixed-length fragment packing.
+
+Reference semantics (`/root/reference/server/ner/src/utils/ner/
+pre_process.py:753-811`, greedy path `mentions_detection.py:24`):
+words -> subtokens (flat, with per-subtoken word ids and char offsets) ->
+chunks of ``max_seq_len`` subtokens (words MAY split across fragments in
+the greedy path) -> +CLS/SEP and pad to ``seq_len`` at encode
+(`pre_process.py:156-193`; SEQ_LEN=128, effective 126).
+
+The subword tokenizer itself is pluggable (the real one is a RoBERTa BPE
+whose weights are missing upstream); the deterministic surrogate splits a
+word into fixed-width chunks. The *packing and padding mechanics* are the
+reproduced operator — they are what the real-model NER UDF will feed, and
+their invariants (the reference's asserts at pre_process.py:781-788,
+797-800, 1034-1037) are property-tested.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from .tokenization import words_with_offsets
+
+CLS, SEP, PAD = "<s>", "</s>", "<pad>"
+
+
+def surrogate_subtokenize(word: str, width: int = 4) -> list[str]:
+    """Deterministic BPE stand-in: fixed-width chunks, continuation pieces
+    prefixed (RoBERTa-style visibility of word boundaries)."""
+    pieces = [word[i : i + width] for i in range(0, len(word), width)]
+    return [pieces[0]] + [f"##{p}" for p in pieces[1:]]
+
+
+@dataclass
+class Fragment:
+    subtokens: list[str]  # padded to seq_len, with CLS/SEP
+    word_ids: list[int]  # -1 for special/pad positions
+    offsets: list[tuple[int, int]]  # (-1,-1) for special/pad
+    attention: list[int]
+
+
+def fragment_document(
+    text: str,
+    seq_len: int = 128,
+    subtokenizer=surrogate_subtokenize,
+    cased: bool = True,
+) -> list[Fragment]:
+    """text -> padded fragments (the NER UDF's per-document tensor shape:
+    [n_fragments, seq_len])."""
+    max_eff = seq_len - 2  # room for CLS/SEP
+    flat_sub: list[str] = []
+    flat_wid: list[int] = []
+    flat_off: list[tuple[int, int]] = []
+    for wid, (word, start, end) in enumerate(
+        words_with_offsets(text, cased=cased)
+    ):
+        for piece in subtokenizer(word):
+            flat_sub.append(piece)
+            flat_wid.append(wid)
+            flat_off.append((start, end))
+
+    frags: list[Fragment] = []
+    for i in range(0, max(len(flat_sub), 1), max_eff):
+        chunk = flat_sub[i : i + max_eff]
+        wids = flat_wid[i : i + max_eff]
+        offs = flat_off[i : i + max_eff]
+        n_pad = max_eff - len(chunk)
+        frags.append(
+            Fragment(
+                subtokens=[CLS] + chunk + [SEP] + [PAD] * n_pad,
+                word_ids=[-1] + wids + [-1] * (n_pad + 1),
+                offsets=[(-1, -1)] + offs + [(-1, -1)] * (n_pad + 1),
+                attention=[1] * (len(chunk) + 2) + [0] * n_pad,
+            )
+        )
+    return frags

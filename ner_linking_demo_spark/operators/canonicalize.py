@@ -80,17 +80,42 @@ def _signature(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _driver_union_find(pairs: list[tuple[str, str]]) -> dict[str, str]:
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            lo, hi = (ra, rb) if ra < rb else (rb, ra)
+            parent[hi] = lo
+    return {n: find(n) for n in list(parent)}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    driver_threshold: int = 200_000,
 ) -> DataFrame:
     """edges(src, dst) [undirected, any orientation, string node ids]
     -> DataFrame(node string, component string).
 
     Component id = lexicographic min node of the component. Isolated nodes
     (self-loops or src==dst rows) map to themselves.
+
+    Scale-aware physical choice: edge sets under ``driver_threshold``
+    (dimension-sized alias graphs — the common canonicalization input)
+    are solved with driver-side union-find in one pass instead of paying
+    O(log n) distributed iterations of shuffle latency; larger graphs run
+    the alternating-star DataFrame iteration. Results are identical
+    (tested both ways); set ``driver_threshold=0`` to force distributed.
     """
     e = (
         edges.select(F.col(src).cast("string").alias("src"),
@@ -98,6 +123,16 @@ def connected_components(
         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
         .dropDuplicates(["src", "dst"])
     )
+    if driver_threshold:
+        # AQE-style runtime stats probe: cheap count decides the strategy.
+        n_edges = e.count()
+        if n_edges <= driver_threshold:
+            pairs = [(r["src"], r["dst"]) for r in e.collect()]
+            comp = _driver_union_find(pairs)
+            spark = edges.sparkSession
+            return spark.createDataFrame(
+                sorted(comp.items()), ["node", "component"]
+            )
     all_nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))

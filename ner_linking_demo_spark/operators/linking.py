@@ -159,6 +159,138 @@ def k_distinct_codes(candidates: DataFrame, k: int) -> DataFrame:
     )
 
 
+LINKED_SCHEMA = T.StructType(
+    [
+        T.StructField("url", T.StringType(), False),
+        T.StructField("start", T.IntegerType(), False),
+        T.StructField("end", T.IntegerType(), False),
+        T.StructField("label", T.StringType(), False),
+        T.StructField("span", T.StringType(), False),
+        T.StructField("codes", T.ArrayType(T.StringType()), False),
+        T.StructField("scores", T.ArrayType(T.FloatType()), False),
+    ]
+)
+
+
+def link_mentions_fused(
+    mentions: DataFrame,
+    indexes: dict[str, TermIndex],
+    k: int,
+    embedder: HashEmbedder | None = None,
+) -> DataFrame:
+    """Fused linking: embed + exact-IP search + k-distinct-codes scan in a
+    single mapInPandas pass — the candidate explosion and both W3 window
+    shuffles disappear (SURVEY.md §3.3 noted M5 can emit per-mention
+    arrays directly; this is that plan, used when stage checkpointing is
+    off). Chained after the NER UDF it keeps the whole pages->linked path
+    in ONE Spark stage: scan -> repartitionByRange -> [NER | link] UDFs.
+
+    Result-identical to knn_candidates + k_distinct_codes + groupBy
+    (tested in tests/test_pipeline_golden.py)."""
+    spark = mentions.sparkSession
+    embedder = embedder or HashEmbedder()
+    bc = spark.sparkContext.broadcast((indexes, embedder, k))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idxs, emb, kk = bc.value
+        for pdf in batches:
+            outs = _fused_link_batch(pdf, idxs, emb, kk)
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame({f.name: [] for f in LINKED_SCHEMA.fields})
+            )
+
+    return mentions.mapInPandas(run, schema=LINKED_SCHEMA)
+
+
+def _fused_link_batch(
+    pdf: pd.DataFrame, idxs: dict[str, TermIndex], emb: HashEmbedder, kk: int
+) -> list[pd.DataFrame]:
+    outs = []
+    for label, sub in pdf.groupby("label", sort=True):
+        index = idxs.get(str(label))
+        if index is None or sub.empty:
+            continue
+        queries = l2_normalize(emb.encode(list(sub["span"])))
+        scores, ids = index.search(queries)
+        codes_arr = np.asarray(index.codes, dtype=object)
+        codes_col, scores_col = [], []
+        for r in range(scores.shape[0]):
+            row_codes = codes_arr[ids[r]]
+            seen: dict[str, float] = {}
+            for j in range(len(row_codes)):
+                c = row_codes[j]
+                if c not in seen:
+                    seen[c] = float(scores[r, j])
+                    if len(seen) >= kk:
+                        break
+            codes_col.append(list(seen.keys()))
+            scores_col.append(np.array(list(seen.values()), dtype=np.float32))
+        out = sub[["url", "start", "end", "label", "span"]].copy()
+        out["codes"] = codes_col
+        out["scores"] = scores_col
+        outs.append(out)
+    return outs
+
+
+def detect_and_link(
+    pages: DataFrame,
+    gazetteer_pdf: pd.DataFrame,
+    indexes: dict[str, TermIndex],
+    k: int,
+    embedder: HashEmbedder | None = None,
+    num_partitions: int | None = None,
+    url_col: str = "url",
+    text_col: str = "text",
+) -> DataFrame:
+    """Single-UDF plan: pages -> linked mentions in ONE python roundtrip
+    (NER matcher + embed + exact-IP search + k-distinct scan per Arrow
+    batch). Halves python-worker count and removes the intermediate
+    mention Arrow transfer vs chaining two mapInPandas operators — the
+    throughput plan when stage checkpointing is off. Result-identical to
+    detect_mentions |> link_mentions (tested)."""
+    from ..functions.matcher import DictionaryMatcher
+
+    spark = pages.sparkSession
+    embedder = embedder or HashEmbedder()
+    terms_by_label = {
+        str(label): list(sub["term"])
+        for label, sub in gazetteer_pdf.groupby("label")
+    }
+    bc = spark.sparkContext.broadcast(
+        (terms_by_label, indexes, embedder, k)
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        tbl, idxs, emb, kk = bc.value
+        matcher = DictionaryMatcher(tbl)
+        for pdf in batches:
+            rows: list[tuple] = []
+            for url, text in zip(pdf[url_col], pdf[text_col]):
+                for label, start, end, span in matcher.find_mentions(text):
+                    rows.append((url, label.upper(), start, end, span))
+            mpdf = pd.DataFrame(
+                rows, columns=["url", "label", "start", "end", "span"]
+            )
+            outs = _fused_link_batch(mpdf, idxs, emb, kk)
+            yield (
+                pd.concat(outs)
+                if outs
+                else pd.DataFrame({f.name: [] for f in LINKED_SCHEMA.fields})
+            )
+
+    projected = pages.select(url_col, text_col)
+    n = num_partitions or int(
+        spark.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    # hash repartition: single-pass (repartitionByRange would add a
+    # sampling scan of the pages), uniform for high-cardinality urls;
+    # giant-page balancing comes from the small partition payload target.
+    balanced = projected.repartition(n, F.col(url_col))
+    return balanced.mapInPandas(run, schema=LINKED_SCHEMA)
+
+
 def link_mentions(
     mentions: DataFrame,
     indexes: dict[str, TermIndex],

@@ -84,7 +84,9 @@ def detect_mentions(
     n = num_partitions or int(
         spark.conf.get("spark.sql.shuffle.partitions", "32")
     )
-    # Range-partition on the url hash: giant pages spread uniformly, and
-    # the partitioning is stable/deterministic for lineage + resume.
-    balanced = projected.repartitionByRange(n, F.xxhash64(url_col))
+    # Hash-partition on url: deterministic given (url, n), uniform for
+    # high-cardinality url keys, and single-pass (range partitioning would
+    # add a sampling scan). The checkpointed path's lineage counters are
+    # keyed by this stable partitioning.
+    balanced = projected.repartition(n, F.col(url_col))
     return balanced.mapInPandas(run, schema=MENTIONS_SCHEMA)

@@ -63,6 +63,46 @@ def build_entities(gazetteer_df: DataFrame) -> tuple[DataFrame, DataFrame]:
     return entities, code2entity
 
 
+def build_entities_local(spark, gazetteer_pdf) -> tuple[DataFrame, DataFrame]:
+    """Driver-side entity build for dimension-sized (pandas) gazetteers:
+    union-find over the alias pairs without any Spark jobs — the same
+    scale-aware shortcut as connected_components' driver_threshold (the
+    gazetteer is in driver memory already; at web scale only the *pages*
+    are big, the alias graph stays dimension-sized). Distributed
+    counterpart: :func:`build_entities` (identical results, tested)."""
+    from .canonicalize import _driver_union_find
+
+    pairs = [
+        (f"c:{code}", f"t:{label}:{term}")
+        for label, code, term in zip(
+            gazetteer_pdf["label"],
+            gazetteer_pdf["code"].astype(str),
+            gazetteer_pdf["term"],
+        )
+    ]
+    comp = _driver_union_find(pairs)
+    ents: dict[str, dict] = {}
+    c2e_rows = []
+    for node, c in comp.items():
+        e = ents.setdefault(c, {"codes": [], "aliases": []})
+        if node.startswith("c:"):
+            e["codes"].append(node[2:])
+            c2e_rows.append((node[2:], c))
+        else:
+            e["aliases"].append(node.split(":", 2)[2])
+    ent_rows = [
+        (c, min(e["codes"]) if e["codes"] else None, sorted(set(e["aliases"])))
+        for c, e in sorted(ents.items())
+    ]
+    entities = spark.createDataFrame(
+        ent_rows, "entity_id string, canonical_code string, aliases array<string>"
+    )
+    code2entity = spark.createDataFrame(
+        sorted(c2e_rows), "code string, entity_id string"
+    )
+    return entities, code2entity
+
+
 def build_triples(
     linked: DataFrame, code2entity: DataFrame
 ) -> tuple[DataFrame, DataFrame]:

@@ -20,9 +20,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.embedder import HashEmbedder
-from ..operators.linking import build_indexes, link_mentions
+from ..operators.linking import build_indexes, detect_and_link, link_mentions
 from ..operators.ner import detect_mentions
-from ..operators.triples import build_entities, build_triples
+from ..operators.triples import build_entities_local, build_triples
 from .catalog import CheckpointCatalog
 
 
@@ -67,29 +67,37 @@ def run_pipeline(
         gazetteer_pdf[["label", "code", "term", "semantic_tag"]]
     )
 
-    def _mentions() -> DataFrame:
-        return detect_mentions(
-            pages, gazetteer_pdf, num_partitions=num_partitions
-        )
-
-    mentions = (
-        cat.stage("mentions", _sig(input_sig, gaz_sig), _mentions)
-        if cat
-        else _mentions()
-    )
-
     indexes = build_indexes(gazetteer_pdf, k=k, embedder=embedder)
 
-    def _linked() -> DataFrame:
-        return link_mentions(mentions, indexes, k=k, embedder=embedder)
+    if cat:
+        # checkpointed runs keep separate, resumable stages with the
+        # exploded-candidate linking plan (skew-visible, candidate-grain
+        # lineage)
+        mentions = cat.stage(
+            "mentions",
+            _sig(input_sig, gaz_sig),
+            lambda: detect_mentions(
+                pages, gazetteer_pdf, num_partitions=num_partitions
+            ),
+        )
+        linked = cat.stage(
+            "linked",
+            _sig(input_sig, gaz_sig, k),
+            lambda: link_mentions(mentions, indexes, k=k, embedder=embedder),
+        )
+    else:
+        # throughput plan: pages -> linked in ONE python UDF stage
+        linked = detect_and_link(
+            pages,
+            gazetteer_pdf,
+            indexes,
+            k=k,
+            embedder=embedder,
+            num_partitions=num_partitions,
+        )
+        mentions = linked.select("url", "label", "start", "end", "span")
 
-    linked = (
-        cat.stage("linked", _sig(input_sig, gaz_sig, k), _linked)
-        if cat
-        else _linked()
-    )
-
-    entities_df, code2entity = build_entities(gazetteer_df)
+    entities_df, code2entity = build_entities_local(spark, gazetteer_pdf)
     if cat:
         entities_df = cat.stage(
             "entities", _sig(gaz_sig), lambda: entities_df

@@ -1,0 +1,11 @@
+"""Streaming: the reference is strictly batch (SURVEY.md §2.8 — file in /
+file out; no watermarks, windows, or stateful ops exist to reproduce), and
+the north_rule targets a batch DataFrame job. Resumability comes from
+snapshot checkpoints (plans/catalog.py), not Structured Streaming.
+
+For incremental ingest the same pipeline body runs under
+``spark.readStream`` with ``foreachBatch`` — provided here so a user with
+an arriving-pages stream can reuse every batch operator unchanged.
+"""
+
+from .incremental import incremental_pipeline  # noqa: F401

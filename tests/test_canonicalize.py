@@ -20,15 +20,22 @@ def _random_edges(n_nodes: int, n_edges: int, seed: int) -> list[tuple[str, str]
 
 
 @pytest.mark.parametrize(
-    "n_nodes,n_edges,seed",
-    [(30, 20, 1), (100, 80, 2), (200, 400, 3)],
+    "n_nodes,n_edges,seed,driver_threshold",
+    [
+        (30, 20, 1, 0),          # distributed alternating-star path
+        (100, 80, 2, 0),
+        (200, 400, 3, 0),
+        (200, 400, 3, 200_000),  # driver union-find fast path
+    ],
 )
-def test_cc_matches_union_find(spark, n_nodes, n_edges, seed):
+def test_cc_matches_union_find(spark, n_nodes, n_edges, seed, driver_threshold):
     edges = _random_edges(n_nodes, n_edges, seed)
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {
         r["node"]: r["component"]
-        for r in connected_components(df).collect()
+        for r in connected_components(
+            df, driver_threshold=driver_threshold
+        ).collect()
     }
     want = oracle_components(edges)
     assert got == want
@@ -41,7 +48,7 @@ def test_cc_hot_star_skew(spark):
     edges += [(f"c{i:03d}", f"c{i+1:03d}") for i in range(50)]
     edges += [("c000", "hub")]
     df = spark.createDataFrame(edges, ["src", "dst"]).repartition(8)
-    got = connected_components(df)
+    got = connected_components(df, driver_threshold=0)  # force distributed
     comps = got.select("component").distinct().collect()
     assert len(comps) == 1
     assert comps[0]["component"] == "c000"  # lexicographic min node

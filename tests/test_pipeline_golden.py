@@ -94,6 +94,37 @@ def test_linking_parity(spark_pages, golden_gazetteer, o_linked):
         )
 
 
+@pytest.mark.parametrize("variant", ["fused_link", "detect_and_link"])
+def test_fused_linking_matches_windowed(
+    spark_pages, golden_gazetteer, o_linked, variant
+):
+    """The fused single-stage plans (link_mentions_fused; detect_and_link)
+    must be result-identical to the exploded-candidates + W3-window plan
+    and hence to the oracle."""
+    from ner_linking_demo_spark.operators.linking import (
+        detect_and_link,
+        link_mentions_fused,
+    )
+
+    idx = build_indexes(golden_gazetteer, k=3)
+    if variant == "fused_link":
+        mentions = detect_mentions(spark_pages, golden_gazetteer)
+        got_df = link_mentions_fused(mentions, idx, k=3)
+    else:
+        got_df = detect_and_link(spark_pages, golden_gazetteer, idx, k=3)
+    got = _norm(got_df.toPandas())
+    want = _norm(o_linked)
+    assert len(got) == len(want)
+    for i in range(len(want)):
+        a, b = want.iloc[i], got.iloc[i]
+        assert list(a.codes) == list(b.codes), (i, a.span)
+        assert np.allclose(
+            np.array(a.scores, dtype=np.float32),
+            np.array(b.scores, dtype=np.float32),
+            atol=1e-6,
+        )
+
+
 def test_end_to_end_triples_pr(
     spark, spark_pages, golden_pages, golden_gazetteer, tmp_path
 ):
@@ -137,6 +168,29 @@ def test_end_to_end_triples_pr(
 
     bad = verify_invariants(res)
     assert all(v == 0 for v in bad.values()), bad
+
+
+def test_entities_local_vs_distributed(spark, golden_gazetteer):
+    """Driver-side union-find entity build == distributed CC entity build."""
+    from ner_linking_demo_spark.operators.triples import (
+        build_entities,
+        build_entities_local,
+    )
+
+    gdf = spark.createDataFrame(
+        golden_gazetteer[["label", "code", "term", "semantic_tag"]]
+    )
+    e_d, c2e_d = build_entities(gdf)
+    e_l, c2e_l = build_entities_local(spark, golden_gazetteer)
+    pd_d = e_d.toPandas().sort_values("entity_id").reset_index(drop=True)
+    pd_l = e_l.toPandas().sort_values("entity_id").reset_index(drop=True)
+    assert list(pd_d["entity_id"]) == list(pd_l["entity_id"])
+    assert list(pd_d["canonical_code"]) == list(pd_l["canonical_code"])
+    for a, b in zip(pd_d["aliases"], pd_l["aliases"]):
+        assert list(a) == list(b)
+    m_d = {(r.code, r.entity_id) for r in c2e_d.collect()}
+    m_l = {(r.code, r.entity_id) for r in c2e_l.collect()}
+    assert m_d == m_l
 
 
 def test_obj_is_entity_id(spark, spark_pages, golden_gazetteer):

@@ -1,0 +1,60 @@
+"""Similarity search: brute-force exactness vs numpy; LSH recall vs the
+brute-force baseline."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ner_linking_demo_spark.operators import similarity as SIM
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((300, 16)).astype(np.float32)
+    rows = [(i, int(i % 3), [float(x) for x in mat[i]]) for i in range(300)]
+    return (
+        spark.createDataFrame(rows, ["vec_id", "label", "embedding"]),
+        mat,
+    )
+
+
+def test_brute_force_matches_numpy(spark, vectors):
+    df, mat = vectors
+    q = mat[0]
+    got = SIM.brute_force_topk(df, q, k=10).toPandas()
+    sims = (mat @ q) / (np.linalg.norm(mat, axis=1) * np.linalg.norm(q))
+    order = np.lexsort((np.arange(len(sims)), -sims))[:10]
+    assert list(got["vec_id"]) == [int(i) for i in order]
+    assert np.allclose(got["cosine"], sims[order], atol=1e-6)
+
+
+def test_lsh_recall(spark, vectors):
+    df, mat = vectors
+    planes = SIM.hyperplanes(dim=16, n_planes=8)
+    indexed = SIM.lsh_index(df, planes).cache()
+    recalls = []
+    for qi in range(5):
+        q = mat[qi]
+        exact = set(
+            SIM.brute_force_topk(df, q, k=10).toPandas()["vec_id"]
+        )
+        approx = set(
+            SIM.lsh_topk(indexed, q, planes, k=10, probe_bits=2).toPandas()[
+                "vec_id"
+            ]
+        )
+        recalls.append(len(exact & approx) / 10)
+    assert np.mean(recalls) >= 0.5  # multi-probe recall on random data
+    # the query's own vector is always retrieved (bucket identity)
+    own = SIM.lsh_topk(indexed, mat[3], planes, k=10, probe_bits=1).toPandas()
+    assert 3 in set(own["vec_id"])
+
+
+def test_bucket_pruning(spark, vectors):
+    df, mat = vectors
+    planes = SIM.hyperplanes(dim=16, n_planes=8)
+    indexed = SIM.lsh_index(df, planes)
+    n_buckets = indexed.select("bucket").distinct().count()
+    assert n_buckets > 10  # buckets actually partition the space
