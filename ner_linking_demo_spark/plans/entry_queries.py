@@ -902,6 +902,240 @@ def kg_disambiguation(spark, sf_dir):
 
 
 # ---------------------------------------------------------------------------
+# Rerank / ensemble / evaluation / fragments
+# ---------------------------------------------------------------------------
+
+
+def _mention_shaped_candidates(spark, sf_dir):
+    """lineitem recast into the candidates relation shape (mention key =
+    one row per order): term = suppkey, two generators' scores."""
+    li = _t(spark, sf_dir, "lineitem").filter("l_orderkey < 2000")
+    base = li.select(
+        F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("url"),
+        F.lit(0).alias("start"),
+        F.lit(1).alias("end"),
+        F.lit("X").alias("label"),
+        F.lit("s").alias("span"),
+        (F.col("l_linenumber") - 1).cast("int").alias("rank"),
+        F.concat(F.lit("t"), F.col("l_suppkey").cast("string")).alias("term"),
+        F.concat(F.lit("c"), F.col("l_suppkey").cast("string")).alias("code"),
+    )
+    a = base.withColumn(
+        "score", F.round(F.col("rank") * -1.0 + 100.0, 6).cast("float")
+    )
+    return a
+
+
+@q(
+    "w4_ensemble_merge",
+    """
+    WITH base AS (
+      SELECT 'o' || CAST(l_orderkey AS VARCHAR) AS url,
+             l_linenumber - 1 AS rank,
+             't' || CAST(l_suppkey AS VARCHAR) AS term,
+             ROUND((l_linenumber - 1) * -1.0 + 100.0, 6) AS score_a,
+             ROUND(l_quantity, 6) AS score_b
+      FROM lineitem WHERE l_orderkey < 2000
+    ),
+    u AS (
+      SELECT url, rank, term, score_a AS score FROM base
+      UNION ALL
+      SELECT url, rank, term, score_b FROM base
+    ),
+    dedup AS (
+      SELECT url, term, score FROM (
+        SELECT url, term, score,
+               ROW_NUMBER() OVER (PARTITION BY url, term
+                                  ORDER BY score DESC, rank ASC) AS rn
+        FROM u
+      ) WHERE rn = 1
+    )
+    SELECT url, term, ROUND(score, 6) AS score,
+           CAST(ROW_NUMBER() OVER (PARTITION BY url
+                              ORDER BY score DESC, term ASC) - 1 AS BIGINT)
+             AS new_rank
+    FROM dedup
+    """,
+)
+def w4_ensemble_merge(spark, sf_dir):
+    """W4: union two candidate generators, dedupe by term keeping best
+    score, rerank — via the ensemble_merge operator."""
+    from ..operators.rerank import ensemble_merge
+
+    a = _mention_shaped_candidates(spark, sf_dir)
+    li = _t(spark, sf_dir, "lineitem").filter("l_orderkey < 2000")
+    b = a.drop("score").join(
+        li.select(
+            F.concat(F.lit("o"), F.col("l_orderkey").cast("string")).alias("url"),
+            (F.col("l_linenumber") - 1).cast("int").alias("rank"),
+            F.round(F.col("l_quantity"), 6).cast("float").alias("score"),
+        ),
+        ["url", "rank"],
+    )
+    merged = ensemble_merge(a, b)
+    return merged.select(
+        "url",
+        "term",
+        F.round("score", 6).cast("double").alias("score"),
+        F.col("rank").cast("long").alias("new_rank"),
+    )
+
+
+@q(
+    "eval_prf_at_k",
+    """
+    WITH pred AS (
+      SELECT l_orderkey, list_transform(
+               (array_agg(DISTINCT l_suppkey ORDER BY l_suppkey))[1:3],
+               s -> CAST(s AS VARCHAR)) AS codes
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    gold AS (
+      SELECT l_orderkey,
+             [CAST(arg_min(l_suppkey, l_linenumber + l_suppkey * 0.001) AS VARCHAR)]
+               AS gold_codes
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT ROUND(AVG(CASE WHEN len(list_intersect(p.codes, g.gold_codes)) > 0
+                     THEN 1.0 ELSE 0.0 END), 6) AS acc_at_k,
+           ROUND(AVG(len(list_intersect(p.codes, g.gold_codes))::DOUBLE /
+                     greatest(len(g.gold_codes), 1)), 6) AS r_at_k,
+           COUNT(*) AS n
+    FROM pred p JOIN gold g USING (l_orderkey)
+    """,
+)
+def eval_prf_at_k(spark, sf_dir):
+    """A7/A8 evaluation aggregations: R@k / Acc@k over aligned
+    pred-vs-gold code sets (deterministic pred = first 3 distinct
+    suppliers by key; gold = supplier of the first line)."""
+    li = _t(spark, sf_dir, "lineitem")
+    pred = li.groupBy("l_orderkey").agg(
+        F.transform(
+            F.slice(F.sort_array(F.collect_set("l_suppkey")), 1, 3),
+            lambda s: s.cast("string"),
+        ).alias("codes")
+    )
+    gold = li.groupBy("l_orderkey").agg(
+        F.array(
+            F.min_by(
+                F.col("l_suppkey").cast("string"),
+                F.col("l_linenumber") + F.col("l_suppkey") * 0.001,
+            )
+        ).alias("gold_codes")
+    )
+    j = pred.join(gold, "l_orderkey")
+    inter = F.size(F.array_intersect("codes", "gold_codes")).cast("double")
+    return j.agg(
+        F.round(F.avg((inter > 0).cast("double")), 6).alias("acc_at_k"),
+        F.round(
+            F.avg(inter / F.greatest(F.size("gold_codes"), F.lit(1))), 6
+        ).alias("r_at_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@q(
+    "f11_context_window",
+    """
+    SELECT doc_id,
+           array_to_string(toks[greatest(6 - 3, 1):least(6 + 3, len(toks))], ' ')
+             AS ctx
+    FROM (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks
+          FROM documents WHERE doc_id < 80)
+    """,
+)
+def f11_context_window(spark, sf_dir):
+    """F11: +-n-token context window around a token position
+    (data_preparation.py:34-56 shape)."""
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 80")
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    lo = F.greatest(F.lit(6 - 3), F.lit(1))
+    hi = F.least(F.lit(6 + 3), F.size(toks))
+    return d.select(
+        "doc_id",
+        F.array_join(F.slice(toks, lo, hi - lo + 1), " ").alias("ctx"),
+    )
+
+
+@q(
+    "m1_fragment_counts",
+    """
+    SELECT doc_id, n_subtokens,
+           greatest(CAST(ceil(n_subtokens / 126.0) AS BIGINT), 1) AS n_fragments
+    FROM (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(
+               regexp_extract_all(trim(text), '\\S+'),
+               t -> ceil(length(t) / 4.0))) AS BIGINT) AS n_subtokens
+      FROM documents
+    )
+    """,
+)
+def m1_fragment_counts(spark, sf_dir):
+    """M1 fragment packing: per-doc subtoken + fragment counts via the
+    fragment_document operator in an Arrow-batched UDF (the harness docs
+    contain no punctuation, so the SQL tokenization is exact)."""
+    import pandas as pd
+
+    from ..functions.fragments import fragment_document
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def run(batches):
+        for pdf in batches:
+            frags = [fragment_document(t, seq_len=128) for t in pdf["text"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_subtokens": [
+                        sum(sum(f.attention) - 2 for f in fs) for fs in frags
+                    ],
+                    "n_fragments": [len(fs) for fs in frags],
+                }
+            )
+
+    return d.mapInPandas(
+        run, "doc_id long, n_subtokens long, n_fragments long"
+    )
+
+
+@q("rerank_crossencoder", None)  # blake2b surrogate: not SQL-expressible
+def rerank_crossencoder(spark, sf_dir):
+    from ..operators.linking import build_indexes, knn_candidates
+    from ..operators.ner import detect_mentions
+    from ..operators.rerank import crossencoder_rerank
+
+    gaz = _harness_gazetteer()
+    mentions = detect_mentions(
+        _docs_as_pages(spark, sf_dir, limit=200), gaz
+    )
+    cands = knn_candidates(mentions, build_indexes(gaz, k=3))
+    out = crossencoder_rerank(cands)
+    return out.select(
+        "url", "start", "end", "label", "term", "rank", "rerank",
+        F.round("ce_score", 5).alias("ce_r"),
+    )
+
+
+@q("rerank_biencoder", None)
+def rerank_biencoder(spark, sf_dir):
+    from ..operators.linking import build_indexes, knn_candidates
+    from ..operators.ner import detect_mentions
+    from ..operators.rerank import biencoder_rerank
+
+    gaz = _harness_gazetteer()
+    mentions = detect_mentions(
+        _docs_as_pages(spark, sf_dir, limit=200), gaz
+    )
+    cands = knn_candidates(mentions, build_indexes(gaz, k=3))
+    out = biencoder_rerank(cands)
+    return out.select(
+        "url", "start", "end", "label", "term", "rank", "rerank",
+        F.round("rerank_score", 5).alias("bi_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
 

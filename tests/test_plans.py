@@ -1,0 +1,45 @@
+"""Physical-plan property tests (the .explain contract the 100 TB posture
+depends on). Full audit: tools/explain_audit.py."""
+
+from __future__ import annotations
+
+import re
+
+from ner_linking_demo_spark.plans.pipeline import run_pipeline
+from ner_linking_demo_spark.sources.fixtures import pages_to_spark
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def _nodes(plan: str, name: str) -> int:
+    return len(re.findall(rf"\(\d+\) {name}", plan))
+
+
+def test_throughput_plan_shape(spark, golden_pages, golden_gazetteer):
+    """The fused pages->linked plan must be Scan -> Project -> ONE Exchange
+    -> ONE python stage; triples adds only a broadcast join."""
+    pages = pages_to_spark(spark, golden_pages.head(5))
+    res = run_pipeline(spark, pages, golden_gazetteer, k=3)
+    p = _plan(res.linked)
+    assert _nodes(p, "Exchange") == 1, p
+    assert _nodes(p, "MapInPandas") + _nodes(p, "PythonMapInArrow") == 1, p
+    pt = _plan(res.triples)
+    assert "BroadcastHashJoin" in pt, pt
+    assert _nodes(pt, "Exchange") + _nodes(pt, "BroadcastExchange") <= 2, pt
+
+
+def test_checkpointed_plan_prunes_pages_columns(
+    spark, golden_pages, golden_gazetteer
+):
+    """The NER stage must read only (url, text) from pages — html/warc_ts
+    pruned before the UDF."""
+    from ner_linking_demo_spark.operators.ner import detect_mentions
+
+    pages = pages_to_spark(spark, golden_pages.head(5))
+    p = _plan(detect_mentions(pages, golden_gazetteer))
+    udf_input = p.split("MapInPandas")[1][:300]
+    assert "html" not in udf_input and "warc_ts" not in udf_input

@@ -1,0 +1,128 @@
+"""Physical-plan audit: print `.explain(formatted)` for the key plans and
+assert the properties the 100 TB posture depends on:
+
+- filters/column pruning reach the parquet scan (PushedFilters/ReadSchema);
+- dimension joins are broadcast (BroadcastHashJoin), fact joins are not
+  collect-based;
+- the KG throughput plan contains exactly one exchange before the fused
+  UDF (repartition) and no exchange after it besides the triples join;
+- relational queries run inside WholeStageCodegen spans.
+
+Usage: python tools/explain_audit.py [sf_dir]   (prints PASS/FAIL lines)
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def plan_of(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def check(name: str, ok: bool, detail: str = "") -> bool:
+    print(f"{'PASS' if ok else 'FAIL'} {name} {detail}")
+    return ok
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    from pyspark.sql import functions as F  # noqa: F401
+
+    from ner_linking_demo_spark.plans import entry_queries as EQ
+    from ner_linking_demo_spark.plans.pipeline import run_pipeline
+    from ner_linking_demo_spark.session import get_spark
+
+    spark = get_spark(app_name="explain-audit")
+    spark.sparkContext.setLogLevel("ERROR")
+    failures = 0
+
+    # 1. filter + projection pushdown
+    p = plan_of(EQ.p1_filter_project(spark, sf_dir))
+    failures += not check(
+        "p1 pushdown",
+        "PushedFilters: [IsNotNull(event_type), IsNotNull(value)" in p
+        or re.search(r"PushedFilters: \[.*EqualTo\(event_type", p) is not None,
+    )
+    failures += not check(
+        "p1 column pruning",
+        re.search(r"ReadSchema: struct<event_id:bigint,.*value:double", p)
+        is not None
+        and "props" not in p.split("ReadSchema")[1][:200],
+    )
+
+    # 2. a1: partial aggregation + codegen + date filter pushed
+    a1 = EQ.a1_pricing_summary(spark, sf_dir)
+    p = plan_of(a1)
+    failures += not check("a1 partial agg", "partial_" in p or "HashAggregate" in p)
+    # codegen spans are visible as *(n) stars once AQE's abstraction is
+    # lifted; toggle AQE off just for the plan string
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    simple = EQ.a1_pricing_summary(spark, sf_dir)
+    s = simple._sc._jvm.PythonSQLUtils.explainString(
+        simple._jdf.queryExecution(), "simple"
+    )
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    failures += not check(
+        "a1 codegen", re.search(r"\*\(\d+\) HashAggregate", s) is not None
+    )
+    failures += not check(
+        "a1 shipdate pushed", re.search(r"PushedFilters: \[.*l_shipdate", p) is not None
+    )
+
+    # 3. j1: dimension joins broadcast
+    p = plan_of(EQ.j1_revenue_by_nation(spark, sf_dir))
+    failures += not check(
+        "j1 broadcast join", p.count("BroadcastHashJoin") >= 2, ""
+    )
+
+    # 4. KG throughput plan shape: one exchange before the fused UDF
+    pages = EQ._docs_as_pages(spark, sf_dir)
+    gaz = EQ._harness_gazetteer()
+    res = run_pipeline(spark, pages, gaz, k=3)
+    p = plan_of(res.linked)
+    def nodes(plan: str, name: str) -> int:
+        return len(re.findall(rf"\(\d+\) {name}", plan))
+
+    n_exchanges = nodes(p, "Exchange")
+    failures += not check(
+        "kg linked single exchange", n_exchanges == 1, f"(exchanges={n_exchanges})"
+    )
+    failures += not check(
+        "kg linked one python stage",
+        nodes(p, "MapInPandas") + nodes(p, "PythonMapInArrow") == 1,
+    )
+    p = plan_of(res.triples)
+    failures += not check(
+        "kg triples broadcast entity join", "BroadcastHashJoin" in p
+    )
+    n_ex = nodes(p, "Exchange") + nodes(p, "BroadcastExchange")
+    failures += not check(
+        "kg triples no extra shuffle",
+        n_ex <= 2,  # input repartition + broadcast exchange
+        f"(exchanges={n_ex})",
+    )
+
+    # 5. dedup minhash: partial aggregation before the shuffle
+    from ner_linking_demo_spark.operators.dedup import minhash_signatures_df
+
+    p = plan_of(minhash_signatures_df(spark.read.parquet(f"{sf_dir}/documents.parquet")))
+    failures += not check(
+        "minhash partial agg (map-side combine)",
+        re.search(r"HashAggregate.*partial", p, re.S) is not None
+        or "partial_min" in p,
+    )
+
+    print(f"\n{failures} failures")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
