@@ -296,11 +296,33 @@ def link_mentions(
     indexes: dict[str, TermIndex],
     k: int,
     embedder: HashEmbedder | None = None,
+    reranker: str | None = None,
 ) -> DataFrame:
     """Full linking stage: mentions -> (mention key, span, codes, scores),
     codes ordered by first occurrence (reference output contract:
-    ``mentions_normalization.py:158-161``)."""
+    ``mentions_normalization.py:158-161``).
+
+    ``reranker``: None (retrieval order, the demo path), 'crossencoder'
+    or 'biencoder' — reorder ALL candidates by the reranker's score
+    before the k-distinct scan (the reference's rerank variant keeps all
+    candidates, `crossencoder_ranker.py:162-180`)."""
     cands = knn_candidates(mentions, indexes, embedder=embedder)
+    if reranker == "crossencoder":
+        from .rerank import crossencoder_rerank
+
+        cands = crossencoder_rerank(cands).select(
+            *MENTION_KEY, "span", F.col("rerank").alias("rank"), "term",
+            "code", F.col("ce_score").alias("score"),
+        )
+    elif reranker == "biencoder":
+        from .rerank import biencoder_rerank
+
+        cands = biencoder_rerank(cands).select(
+            *MENTION_KEY, "span", F.col("rerank").alias("rank"), "term",
+            "code", F.col("rerank_score").alias("score"),
+        )
+    elif reranker is not None:
+        raise ValueError(f"unknown reranker: {reranker!r}")
     topk = k_distinct_codes(cands, k)
     return (
         topk.groupBy(*MENTION_KEY, "span")

@@ -387,17 +387,49 @@ def u1_union_distinct(spark, sf_dir):
 @q(
     "u4_anti_join",
     """
-    SELECT c_custkey FROM customer
-    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+    SELECT DISTINCT l_partkey FROM lineitem
+    WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 3 = 0)
     """,
 )
 def u4_anti_join(spark, sf_dir):
-    """U4/P5 negative-sampling shape: left-anti join."""
-    c = _t(spark, sf_dir, "customer")
-    o = _t(spark, sf_dir, "orders")
-    return c.join(
-        o, c.c_custkey == o.o_custkey, "left_anti"
-    ).select("c_custkey")
+    """U4/P5 negative-sampling shape: left-anti join (non-empty both
+    sides)."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part").filter("p_partkey % 3 = 0")
+    return (
+        li.select("l_partkey")
+        .dropDuplicates()
+        .join(p, li.l_partkey == p.p_partkey, "left_anti")
+        .select("l_partkey")
+    )
+
+
+@q(
+    "a9_group_mean_embedding",
+    """
+    SELECT label, idx, ROUND(AVG(embedding[idx]::DOUBLE), 6) AS mean_v
+    FROM embeddings, (SELECT unnest(generate_series(1, 8)) AS idx)
+    GROUP BY label, idx
+    """,
+)
+def a9_group_mean_embedding(spark, sf_dir):
+    """A9 term-averaged embedding shape (faisslm_term_avg.py:94-102):
+    element-wise mean embedding per group — posexplode -> groupBy
+    (partial-agg friendly; at scale this is the code-centroid dim-table
+    build)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (
+        e.select(
+            "label",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "pos", "v"
+            ),
+        )
+        .withColumn("idx", F.col("pos") + 1)
+        .filter("idx <= 8")
+        .groupBy("label", "idx")
+        .agg(F.round(F.avg("v"), 6).alias("mean_v"))
+    )
 
 
 @q(

@@ -48,6 +48,7 @@ def run_pipeline(
     embedder: HashEmbedder | None = None,
     num_partitions: int | None = None,
     input_sig: str | None = None,
+    reranker: str | None = None,
 ) -> PipelineResult:
     """Run pages -> triples. When ``checkpoint_dir`` is set, every stage is
     snapshot-checkpointed and resumable; otherwise the plan runs fully lazy
@@ -82,10 +83,12 @@ def run_pipeline(
         )
         linked = cat.stage(
             "linked",
-            _sig(input_sig, gaz_sig, k),
-            lambda: link_mentions(mentions, indexes, k=k, embedder=embedder),
+            _sig(input_sig, gaz_sig, k, reranker),
+            lambda: link_mentions(
+                mentions, indexes, k=k, embedder=embedder, reranker=reranker
+            ),
         )
-    else:
+    elif reranker is None:
         # throughput plan: pages -> linked in ONE python UDF stage
         linked = detect_and_link(
             pages,
@@ -96,6 +99,13 @@ def run_pipeline(
             num_partitions=num_partitions,
         )
         mentions = linked.select("url", "label", "start", "end", "span")
+    else:
+        mentions = detect_mentions(
+            pages, gazetteer_pdf, num_partitions=num_partitions
+        )
+        linked = link_mentions(
+            mentions, indexes, k=k, embedder=embedder, reranker=reranker
+        )
 
     entities_df, code2entity = build_entities_local(spark, gazetteer_pdf)
     if cat:

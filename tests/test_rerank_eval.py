@@ -90,6 +90,34 @@ def test_ensemble_merge(spark, candidates):
     assert (g.min() == 0).all()
 
 
+def test_pipeline_with_reranker(spark):
+    from ner_linking_demo_spark.plans.pipeline import run_pipeline
+    from ner_linking_demo_spark.sources.fixtures import pages_to_spark
+
+    gaz = gen_gazetteer(n_codes=20)
+    pages = pages_to_spark(
+        spark, gen_pages(n_pages=10, gazetteer=gaz, giant_every=0)
+    )
+    base = run_pipeline(spark, pages, gaz, k=3)
+    rer = run_pipeline(spark, pages, gaz, k=3, reranker="crossencoder")
+    nb, nr = base.triples.count(), rer.triples.count()
+    assert nb > 0 and nr > 0
+    # same mentions, potentially different code order/selection
+    mb = {tuple(r) for r in base.triples.select("subj", "start", "end").collect()}
+    mr = {tuple(r) for r in rer.triples.select("subj", "start", "end").collect()}
+    assert mb == mr
+    # determinism of the reranked path
+    rer2 = run_pipeline(spark, pages, gaz, k=3, reranker="crossencoder")
+    a = {tuple(r) for r in rer.triples.select("subj", "start", "end", "code", "rank").collect()}
+    b = {tuple(r) for r in rer2.triples.select("subj", "start", "end", "code", "rank").collect()}
+    assert a == b
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        run_pipeline(spark, pages, gaz, k=3, reranker="nope")
+
+
 def test_precision_recall_at_k(spark):
     pred = spark.createDataFrame(
         [("u", 0, 3, "D", ["a", "b", "c"]), ("u", 5, 8, "D", ["x", "y", "z"])],
