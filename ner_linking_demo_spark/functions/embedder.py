@@ -41,18 +41,34 @@ class HashEmbedder:
         self.dim = dim
         self.seed = seed
         self._key = f"nlds-embed-{seed}".encode()
+        # n-gram vocabularies are small relative to corpus text: memoize
+        # gram -> (slot, sign) per embedder instance (one per python
+        # worker). Pure-function cache — values depend only on (gram, key).
+        self._gram_cache: dict[str, tuple[int, float]] = {}
 
     def _gram_slot(self, gram: str) -> tuple[int, float]:
+        cached = self._gram_cache.get(gram)
+        if cached is not None:
+            return cached
         h = hashlib.blake2b(gram.encode("utf-8"), key=self._key, digest_size=8)
         v = int.from_bytes(h.digest(), "big")
-        return v % self.dim, 1.0 if (v >> 32) & 1 else -1.0
+        out = (v % self.dim, 1.0 if (v >> 32) & 1 else -1.0)
+        if len(self._gram_cache) < 2_000_000:
+            self._gram_cache[gram] = out
+        return out
+
+    def __getstate__(self):  # keep broadcasts small: don't ship the cache
+        state = self.__dict__.copy()
+        state["_gram_cache"] = {}
+        return state
 
     def encode_one(self, text: str) -> np.ndarray:
         vec = np.zeros(self.dim, dtype=np.float32)
         padded = f"\x02{text}\x03"
+        slot = self._gram_slot
         for i in range(max(len(padded) - _NGRAM + 1, 1)):
-            slot, sign = self._gram_slot(padded[i : i + _NGRAM])
-            vec[slot] += sign
+            s, sign = slot(padded[i : i + _NGRAM])
+            vec[s] += sign
         return vec
 
     def encode(self, texts: list[str] | np.ndarray, normalize: bool = False) -> np.ndarray:

@@ -70,6 +70,28 @@ def is_control(ch: str) -> bool:
     return unicodedata.category(ch).startswith("C")
 
 
+# Hot-path classification cache: WORD / PUNCT / SPACE / DROP, precomputed
+# for the Latin-1 range (the overwhelmingly common case in the NER UDF's
+# per-character loop) and memoized for everything else. Pure lookup of the
+# same predicates above — semantics identical (hypothesis-fuzzed against
+# the reference implementation).
+_WORD, _PUNCT, _SPACE, _DROP = 0, 1, 2, 3
+
+
+def _classify(ch: str) -> int:
+    if is_punctuation(ch) or is_cjk(ch):
+        return _PUNCT
+    if is_space(ch):
+        return _SPACE
+    if ord(ch) == 0 or ord(ch) == 0xFFFD or is_control(ch):
+        return _DROP
+    return _WORD
+
+
+_LATIN1_CLASS = [_classify(chr(cp)) for cp in range(256)]
+_CLASS_CACHE: dict[str, int] = {}
+
+
 def uncase(text: str) -> str:
     """NFD-normalize, strip combining marks, lowercase (reference
     ``cased=False`` path, ``pre_process.py:74-77``). Note this changes
@@ -107,19 +129,29 @@ def words_with_offsets(
             buf_start = -1
             buf_last = -1
 
+    latin1 = _LATIN1_CLASS
+    cache = _CLASS_CACHE
     for ch in text:
-        if is_punctuation(ch) or is_cjk(ch):
-            flush()
-            out.append((ch, pos, pos + 1))
-        elif is_space(ch):
-            flush()
-        elif not (ord(ch) == 0 or ord(ch) == 0xFFFD or is_control(ch)):
+        cp = ord(ch)
+        if cp < 256:
+            cls = latin1[cp]
+        else:
+            cls = cache.get(ch)
+            if cls is None:
+                cls = _classify(ch)
+                cache[ch] = cls
+        if cls == _WORD:
             if not buf:
                 buf_start = pos
             buf.append(ch)
             buf_last = pos
-        # else: dropped char (NUL / U+FFFD / control) — offset still advances
-        # and the current word is NOT broken.
+        elif cls == _SPACE:
+            flush()
+        elif cls == _PUNCT:
+            flush()
+            out.append((ch, pos, pos + 1))
+        # else _DROP: NUL / U+FFFD / control — offset still advances and
+        # the current word is NOT broken.
         pos += 1
     flush()
     return out

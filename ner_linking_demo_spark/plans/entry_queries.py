@@ -1167,6 +1167,65 @@ def rerank_biencoder(spark, sf_dir):
     )
 
 
+_IOB_WORDS_SQL = """
+      SELECT 'u' || CAST(l_orderkey AS VARCHAR) AS url,
+             l_linenumber AS pos,
+             CASE CAST(MIN(l_quantity) AS BIGINT) % 3
+               WHEN 0 THEN 'B' WHEN 1 THEN 'I' ELSE 'O' END AS iob,
+             l_linenumber * 10 AS start,
+             l_linenumber * 10 + 5 AS "end"
+      FROM lineitem
+      GROUP BY l_orderkey, l_linenumber
+"""
+
+
+@q(
+    "m3_iob_decode",
+    f"""
+    WITH words AS ({_IOB_WORDS_SQL}),
+    tagged AS (
+      SELECT *, SUM(CASE WHEN iob = 'B' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY url ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS grp
+      FROM words
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, MIN(CASE WHEN iob = 'O' THEN pos END)
+                    OVER (PARTITION BY url, grp) AS first_o
+        FROM tagged
+      ) WHERE grp > 0 AND iob IN ('B','I')
+          AND (first_o IS NULL OR pos < first_o)
+    )
+    SELECT url, MIN(start) AS start, MAX("end") AS "end"
+    FROM kept GROUP BY url, grp
+    """,
+)
+def m3_iob_decode(spark, sf_dir):
+    """M3/W8: windowed IOB->span decode (post_process.py:449-490
+    semantics) over deterministic word-level tags synthesized from
+    lineitem; the scanner-form parity is tested in tests/test_iob.py."""
+    from ..operators.iob import decode_iob_spans
+
+    li = _t(spark, sf_dir, "lineitem")
+    # synthetic lineitem has duplicate (orderkey, linenumber) pairs:
+    # collapse deterministically to one word per position
+    q = F.min("l_quantity").cast("long")
+    words = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.when(q % 3 == 0, "B")
+        .when(q % 3 == 1, "I")
+        .otherwise("O")
+        .alias("iob")
+    ).select(
+        F.concat(F.lit("u"), F.col("l_orderkey").cast("string")).alias("url"),
+        F.col("l_linenumber").alias("pos"),
+        "iob",
+        (F.col("l_linenumber") * 10).alias("start"),
+        (F.col("l_linenumber") * 10 + 5).alias("end"),
+    )
+    return decode_iob_spans(words)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------
