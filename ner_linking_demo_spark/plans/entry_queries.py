@@ -1131,6 +1131,54 @@ def m1_fragment_counts(spark, sf_dir):
     )
 
 
+@q("cand_bm25", None)  # BM25 scoring loop: not SQL-expressible cheaply
+def cand_bm25(spark, sf_dir):
+    from ..operators.candidates import bm25_candidates, build_generator_indexes
+    from ..operators.ner import detect_mentions
+
+    gaz = _harness_gazetteer()
+    mentions = detect_mentions(_docs_as_pages(spark, sf_dir, limit=200), gaz)
+    cands = bm25_candidates(
+        mentions, build_generator_indexes(gaz, "bm25"), k=5
+    )
+    return cands.select(
+        "url", "start", "end", "label", "rank", "term", "code",
+        F.round("score", 5).alias("score_r"),
+    )
+
+
+@q("cand_tfidf", None)
+def cand_tfidf(spark, sf_dir):
+    from ..operators.candidates import build_generator_indexes, tfidf_candidates
+    from ..operators.ner import detect_mentions
+
+    gaz = _harness_gazetteer()
+    mentions = detect_mentions(_docs_as_pages(spark, sf_dir, limit=200), gaz)
+    cands = tfidf_candidates(
+        mentions, build_generator_indexes(gaz, "tfidf"), k=5
+    )
+    return cands.select(
+        "url", "start", "end", "label", "rank", "term", "code",
+        F.round("score", 5).alias("score_r"),
+    )
+
+
+@q("cand_term_avg", None)
+def cand_term_avg(spark, sf_dir):
+    from ..operators.candidates import build_generator_indexes, term_avg_candidates
+    from ..operators.ner import detect_mentions
+
+    gaz = _harness_gazetteer()
+    mentions = detect_mentions(_docs_as_pages(spark, sf_dir, limit=200), gaz)
+    cands = term_avg_candidates(
+        mentions, build_generator_indexes(gaz, "term_avg", k=3), k=3
+    )
+    return cands.select(
+        "url", "start", "end", "label", "rank", "code",
+        F.round("score", 5).alias("score_r"),
+    )
+
+
 @q("rerank_crossencoder", None)  # blake2b surrogate: not SQL-expressible
 def rerank_crossencoder(spark, sf_dir):
     from ..operators.linking import build_indexes, knn_candidates
