@@ -99,11 +99,35 @@ def minhash_signatures_df(
     The per-hash min is a partial aggregation (map-side combine), so the
     shuffle carries one row per (doc, 1) — not per shingle. Returns
     (id, sig array<long>). Seeded via the hash-function index baked into
-    the input string."""
-    ex = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(word_shingles(F.col(text_col), shingle_size)).alias("s"),
+    the input string.
+
+    The shingle explosion runs as an Arrow-batched UDF rather than the
+    ``word_shingles`` expression: nested higher-order functions are
+    interpreted (no codegen) and measured ~10x slower than the python
+    string loop for this step; the hash projections + min stay native."""
+    import pandas as _pd
+
+    def _shingle_rows(batches):
+        for pdf in batches:
+            ids, shingles = [], []
+            for i, text in zip(pdf["id"], pdf["text"]):
+                toks = text.split()
+                if len(toks) >= shingle_size:
+                    grams = {
+                        " ".join(toks[j : j + shingle_size])
+                        for j in range(len(toks) - shingle_size + 1)
+                    }
+                else:
+                    grams = {" ".join(toks)}
+                ids.extend([i] * len(grams))
+                shingles.extend(grams)
+            yield _pd.DataFrame({"id": ids, "s": shingles})
+
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
+    id_type = dict(src.dtypes)["id"]
+    ex = src.mapInPandas(_shingle_rows, schema=f"id {id_type}, s string")
     proj = ex.select(
         "id",
         *[

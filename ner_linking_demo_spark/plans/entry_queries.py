@@ -499,20 +499,25 @@ def f6_json_extract(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 _DUPED_DOCS_SQL = """
-      SELECT doc_id, text FROM documents
+      SELECT doc_id, text FROM documents WHERE doc_id < 300
       UNION ALL
-      SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      WHERE doc_id < 300 AND doc_id % 5 = 0
       UNION ALL
       SELECT doc_id + 200000 AS doc_id,
              'xq zv ' || text AS text
-      FROM documents WHERE doc_id % 7 = 0
+      FROM documents WHERE doc_id < 300 AND doc_id % 7 = 0
 """
 
 
 def _duped_docs(spark, sf_dir):
-    """documents + planted exact dups (every 5th) and near-dups with a
-    2-token prefix edit (every 7th) — deterministic on both engines."""
-    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    """documents (bounded subset — the DuckDB correctness oracle computes
+    ALL-pairs Jaccard over this set, quadratic on its size) + planted
+    exact dups (every 5th) and near-dups with a 2-token prefix edit
+    (every 7th) — deterministic on both engines."""
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 300").select(
+        "doc_id", "text"
+    )
     exact = d.filter("doc_id % 5 = 0").select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text"
     )
