@@ -35,8 +35,14 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--input-sig", default=None, help="resume signature")
     args = ap.parse_args(argv)
 
-    from .plans.pipeline import run_pipeline, verify_invariants
-    from .session import get_spark
+    # absolute imports: this file is also submitted as a bare script path
+    # (spark-submit --py-files engine.zip .../__main__.py), where relative
+    # imports have no package context
+    from ner_linking_demo_spark.plans.pipeline import (
+        run_pipeline,
+        verify_invariants,
+    )
+    from ner_linking_demo_spark.session import get_spark
 
     spark = get_spark(app_name="kg-construct")
     if args.pages.endswith(".parquet") or "/" in args.pages:
