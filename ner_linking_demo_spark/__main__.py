@@ -4,8 +4,7 @@ program.
 
 Usage:
   zip -qr engine.zip ner_linking_demo_spark
-  spark-submit --py-files engine.zip -m ner_linking_demo_spark ... # or:
-  spark-submit --py-files engine.zip run_kg.py \
+  spark-submit --py-files engine.zip ner_linking_demo_spark/__main__.py \
       --pages /data/pages_parquet --gazetteer /data/gazetteer.tsv \
       --out /data/kg --checkpoint /data/ckpt --k 3
 
@@ -20,6 +19,7 @@ gazetteer_pre_process.py:24-25`).
 from __future__ import annotations
 
 import argparse
+import os
 
 import pandas as pd
 
@@ -45,7 +45,7 @@ def main(argv: list[str] | None = None) -> None:
     from ner_linking_demo_spark.session import get_spark
 
     spark = get_spark(app_name="kg-construct")
-    if args.pages.endswith(".parquet") or "/" in args.pages:
+    if os.path.exists(args.pages) or args.pages.endswith(".parquet") or "/" in args.pages:
         pages = spark.read.parquet(args.pages)
     else:
         pages = spark.read.table(args.pages)
