@@ -41,10 +41,12 @@ class HashEmbedder:
         self.dim = dim
         self.seed = seed
         self._key = f"nlds-embed-{seed}".encode()
-        # n-gram vocabularies are small relative to corpus text: memoize
-        # gram -> (slot, sign) per embedder instance (one per python
-        # worker). Pure-function cache — values depend only on (gram, key).
+        # n-gram vocabularies (and mention surface forms — hot entities
+        # repeat massively in web corpora) are small relative to corpus
+        # text: memoize gram -> (slot, sign) and text -> vector per
+        # embedder instance (one per python worker). Pure-function caches.
         self._gram_cache: dict[str, tuple[int, float]] = {}
+        self._vec_cache: dict[str, np.ndarray] = {}
 
     def _gram_slot(self, gram: str) -> tuple[int, float]:
         cached = self._gram_cache.get(gram)
@@ -57,18 +59,25 @@ class HashEmbedder:
             self._gram_cache[gram] = out
         return out
 
-    def __getstate__(self):  # keep broadcasts small: don't ship the cache
+    def __getstate__(self):  # keep broadcasts small: don't ship caches
         state = self.__dict__.copy()
         state["_gram_cache"] = {}
+        state["_vec_cache"] = {}
         return state
 
     def encode_one(self, text: str) -> np.ndarray:
+        cached = self._vec_cache.get(text)
+        if cached is not None:
+            return cached
         vec = np.zeros(self.dim, dtype=np.float32)
         padded = f"\x02{text}\x03"
         slot = self._gram_slot
         for i in range(max(len(padded) - _NGRAM + 1, 1)):
             s, sign = slot(padded[i : i + _NGRAM])
             vec[s] += sign
+        vec.setflags(write=False)  # cached vectors must stay immutable
+        if len(self._vec_cache) < 500_000:
+            self._vec_cache[text] = vec
         return vec
 
     def encode(self, texts: list[str] | np.ndarray, normalize: bool = False) -> np.ndarray:

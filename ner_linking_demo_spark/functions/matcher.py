@@ -46,11 +46,15 @@ class DictionaryMatcher:
     def __init__(self, terms_by_label: dict[str, list[str]]):
         self.tries: dict[str, dict[tuple[str, ...], bool]] = {}
         self.max_len: dict[str, int] = {}
+        # first-token gate: scanning positions whose word can't start any
+        # term skip with one set lookup (the overwhelmingly common case)
+        self.first_tokens: dict[str, set[str]] = {}
         for label, terms in terms_by_label.items():
             keys = {term_key(t) for t in terms}
             keys.discard(())
             self.tries[label] = dict.fromkeys(keys, True)
             self.max_len[label] = max((len(k) for k in keys), default=0)
+            self.first_tokens[label] = {k[0] for k in keys}
 
     def find_mentions(self, text: str) -> list[Mention]:
         words = words_with_offsets(text)
@@ -59,9 +63,13 @@ class DictionaryMatcher:
         for label in sorted(self.tries):
             table = self.tries[label]
             max_n = self.max_len[label]
+            firsts = self.first_tokens[label]
             i = 0
             n_words = len(words)
             while i < n_words:
+                if lowered[i] not in firsts:
+                    i += 1
+                    continue
                 matched = 0
                 for n in range(min(max_n, n_words - i), 0, -1):
                     if tuple(lowered[i : i + n]) in table:
