@@ -164,15 +164,12 @@ def minhash_lsh_pairs(
         df, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
         shingle_size=shingle_size,
     )
-    with_sig = sigs.join(
-        df.select(
-            F.col(id_col).alias("id"), F.col(text_col).alias("text")
-        ),
+    # Band on (id, bucket) ONLY — document text never enters the banding
+    # explode, the bucket-size aggregation, or the bucket self-join. At
+    # 100 TB the exploded/banded stream is `bands` rows of (id, 2 longs)
+    # per doc, not `bands` copies of the page text (round-1 verdict item).
+    banded = sigs.select(
         "id",
-    )
-    banded = with_sig.select(
-        "id",
-        "text",
         F.posexplode(
             F.array(
                 *[
@@ -189,30 +186,45 @@ def minhash_lsh_pairs(
             )
         ).alias("band", "bucket"),
     )
-    w = Window.partitionBy("band", "bucket")
-    banded = banded.withColumn("bsz", F.count(F.lit(1)).over(w)).filter(
-        F.col("bsz") <= max_bucket
+    # Bucket-size cap via groupBy().count() (map-side partial agg), not a
+    # window over exploded rows; singleton buckets are dropped here too so
+    # the self-join never sees keys that cannot produce a pair.
+    ok_buckets = (
+        banded.groupBy("band", "bucket")
+        .count()
+        .filter((F.col("count") >= 2) & (F.col("count") <= max_bucket))
+        .select("band", "bucket")
     )
-    a = banded.select(
-        F.col("band"), F.col("bucket"), F.col("id").alias("id_a"),
-        F.col("text").alias("text_a"),
-    )
-    b = banded.select(
-        F.col("band"), F.col("bucket"), F.col("id").alias("id_b"),
-        F.col("text").alias("text_b"),
-    )
+    member = banded.join(ok_buckets, ["band", "bucket"])
+    a = member.select("band", "bucket", F.col("id").alias("id_a"))
+    b = member.select("band", "bucket", F.col("id").alias("id_b"))
     pairs = (
         a.join(b, ["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "text_a", "text_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    sh_a = word_shingles(F.col("text_a"), shingle_size)
-    sh_b = word_shingles(F.col("text_b"), shingle_size)
-    inter = F.size(F.array_intersect(sh_a, sh_b)).cast("double")
-    union = F.size(F.array_union(sh_a, sh_b)).cast("double")
+    # Exact-Jaccard verify: re-join the shingle SETS (not raw text) by id —
+    # two id-keyed joins against a doc-count-sized side, after the pair set
+    # has already been deduplicated and bucket-capped.
+    shingles = df.select(
+        F.col(id_col).alias("id"),
+        word_shingles(F.col(text_col), shingle_size).alias("sh"),
+    )
+    verified = (
+        pairs.join(
+            shingles.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            shingles.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")),
+            "id_b",
+        )
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b"))).cast("double")
     return (
-        pairs.withColumn("jaccard", inter / union)
+        verified.withColumn("jaccard", inter / union)
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -303,8 +315,18 @@ def simhash_neardup_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash: block on byte-bands of the simhash (a
     pair within hamming distance d shares at least one of ceil(bits/band)
-    bands when d < n_bands), verify with exact popcount."""
+    bands when d < n_bands), verify with exact popcount.
+
+    Raises ``ValueError`` when ``max_hamming >= prefix_bits // band_bits``:
+    the pigeonhole guarantee needs strictly more bands than flipped bits,
+    otherwise qualifying pairs are silently missed (round-1 advice)."""
     n_bands = prefix_bits // band_bits
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"max_hamming={max_hamming} requires > {max_hamming} bands but "
+            f"prefix_bits//band_bits = {n_bands}; lower band_bits (more "
+            f"bands) or lower max_hamming so max_hamming < n_bands"
+        )
     with_h = df.select(
         F.col(id_col).alias("id"), simhash64(F.col(text_col), prefix_bits).alias("h")
     )

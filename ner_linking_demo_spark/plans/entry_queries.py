@@ -634,8 +634,31 @@ def dedup_simhash(spark, sf_dir):
     )
 
 
-@q("dedup_simhash_pairs", None)  # pair recall tested vs oracle in pytest
+@q(
+    "dedup_simhash_pairs",
+    f"""
+    WITH base AS ({_DUPED_DOCS_SQL}),
+    h AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(generate_series(0, 31), b ->
+               CASE WHEN list_sum(list_transform(toks, t ->
+                 CASE WHEN ((('0x' || substr(md5(t),1,8))::BIGINT >> b) & 1) = 1
+                      THEN 1 ELSE -1 END)) > 0
+               THEN 1::BIGINT << b ELSE 0 END)) AS BIGINT) AS h
+      FROM (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks
+            FROM base)
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           bit_count(xor(a.h, b.h)) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.h, b.h)) <= 3
+    """,
+)
 def dedup_simhash_pairs(spark, sf_dir):
+    """SimHash near-dup pairs vs ground-truth ALL-pairs hamming oracle —
+    valid because max_hamming=3 < n_bands=4 makes the banding lossless
+    (pigeonhole), so LSH recall is exactly 1.0 and the outputs are equal
+    sets, not approximately equal."""
     return DD.simhash_neardup_pairs(
         _duped_docs(spark, sf_dir), max_hamming=3
     )
@@ -797,8 +820,41 @@ def text_fingerprint(spark, sf_dir):
     )
 
 
-@q("text_quality_score", None)  # composite float heuristic; rows-only
+@q(
+    "text_quality_score",
+    f"""
+    SELECT doc_id,
+           ROUND(least(n / 50.0, 1.0) * 0.3
+                 + (CASE WHEN mwl >= 3.0 AND mwl <= 12.0
+                         THEN 1.0 ELSE 0.3 END) * 0.2
+                 + (CASE WHEN n_punct / greatest(length(text), 1) <= 0.2
+                         THEN 1.0 ELSE 0.3 END) * 0.2
+                 + least(sw / greatest(n * 0.1, 1.0), 1.0) * 0.3, 6) AS quality
+    FROM (
+      SELECT doc_id, text,
+             len(toks)::DOUBLE AS n,
+             list_sum(list_transform(toks, t -> length(t)))::DOUBLE
+               / greatest(len(toks), 1) AS mwl,
+             length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE
+               AS n_punct,
+             (len(list_filter(lt, t -> list_contains({_ES_SQL}, t)))
+              + len(list_filter(lt, t -> list_contains({_EN_SQL}, t))))::DOUBLE
+               AS sw
+      FROM (
+        SELECT doc_id, text,
+               regexp_extract_all(trim(text), '\\S+') AS toks,
+               list_transform(regexp_extract_all(trim(text), '\\S+'),
+                              t -> lower(t)) AS lt
+        FROM documents
+      )
+    )
+    """,
+)
 def text_quality_score(spark, sf_dir):
+    """Composite quality heuristic; the oracle recomputes every component
+    (token count, mean word length, punct ratio — POSIX [[:punct:]] vs
+    Java \\p{{P}} agree on the ASCII-only harness text — stopword rate)
+    with the identical double arithmetic and weighting."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
         "doc_id", F.round(TA.quality_score(F.col("text")), 6).alias("quality")
@@ -887,7 +943,15 @@ def _harness_gazetteer():
     return pd.DataFrame(rows)
 
 
-@q("kg_detect_mentions", None)  # offset tokenization: not SQL-expressible
+# kg_* oracles: built from the harness gazetteer at import time; the
+# tokenization-as-prefix-sum and matcher-as-pure-join preconditions they
+# rely on are documented + asserted in plans/kg_oracles.py.
+from . import kg_oracles as _KG  # noqa: E402
+
+_HGAZ = _harness_gazetteer()
+
+
+@q("kg_detect_mentions", _KG.detect_mentions_sql(_HGAZ))
 def kg_detect_mentions(spark, sf_dir):
     from ..operators.ner import detect_mentions
 
@@ -896,7 +960,7 @@ def kg_detect_mentions(spark, sf_dir):
     )
 
 
-@q("kg_link_mentions", None)
+@q("kg_link_mentions", _KG.link_mentions_sql(_HGAZ, k=3))
 def kg_link_mentions(spark, sf_dir):
     from ..operators.linking import build_indexes, link_mentions
     from ..operators.ner import detect_mentions
@@ -910,7 +974,7 @@ def kg_link_mentions(spark, sf_dir):
     )
 
 
-@q("kg_triples_e2e", None)
+@q("kg_triples_e2e", _KG.triples_sql(_HGAZ, k=3))
 def kg_triples_e2e(spark, sf_dir):
     from ..plans.pipeline import run_pipeline
 
@@ -919,7 +983,9 @@ def kg_triples_e2e(spark, sf_dir):
     )
     return res.triples.select(
         "subj", "pred", "obj", "code", "rank", "start", "end", "span",
-        F.round("score", 5).alias("score_r"),
+        # cast before rounding: the hash compares doubles at 9dp, so the
+        # float32 score must become the double nearest its 5dp rounding
+        F.round(F.col("score").cast("double"), 5).alias("score_r"),
     )
 
 
@@ -1136,7 +1202,7 @@ def m1_fragment_counts(spark, sf_dir):
     )
 
 
-@q("cand_bm25", None)  # BM25 scoring loop: not SQL-expressible cheaply
+@q("cand_bm25", _KG.bm25_sql(_HGAZ, k=5, where="WHERE doc_id < 200"))
 def cand_bm25(spark, sf_dir):
     from ..operators.candidates import bm25_candidates, build_generator_indexes
     from ..operators.ner import detect_mentions
@@ -1148,11 +1214,11 @@ def cand_bm25(spark, sf_dir):
     )
     return cands.select(
         "url", "start", "end", "label", "rank", "term", "code",
-        F.round("score", 5).alias("score_r"),
+        F.round(F.col("score").cast("double"), 5).alias("score_r"),
     )
 
 
-@q("cand_tfidf", None)
+@q("cand_tfidf", _KG.tfidf_sql(_HGAZ, k=5, where="WHERE doc_id < 200"))
 def cand_tfidf(spark, sf_dir):
     from ..operators.candidates import build_generator_indexes, tfidf_candidates
     from ..operators.ner import detect_mentions
@@ -1164,11 +1230,11 @@ def cand_tfidf(spark, sf_dir):
     )
     return cands.select(
         "url", "start", "end", "label", "rank", "term", "code",
-        F.round("score", 5).alias("score_r"),
+        F.round(F.col("score").cast("double"), 5).alias("score_r"),
     )
 
 
-@q("cand_term_avg", None)
+@q("cand_term_avg", _KG.term_avg_sql(_HGAZ, k=3, where="WHERE doc_id < 200"))
 def cand_term_avg(spark, sf_dir):
     from ..operators.candidates import build_generator_indexes, term_avg_candidates
     from ..operators.ner import detect_mentions
@@ -1180,7 +1246,7 @@ def cand_term_avg(spark, sf_dir):
     )
     return cands.select(
         "url", "start", "end", "label", "rank", "code",
-        F.round("score", 5).alias("score_r"),
+        F.round(F.col("score").cast("double"), 5).alias("score_r"),
     )
 
 

@@ -1,0 +1,357 @@
+"""DuckDB oracle SQL builders for the kg_* flagship chain.
+
+The round-1 gap: ``kg_detect_mentions`` / ``kg_link_mentions`` /
+``kg_triples_e2e`` were rows-only. They ARE SQL-expressible on the harness
+data because of two verified properties of ``/root/testdata`` documents
+(asserted in tests/test_kg_oracles.py):
+
+1. **Tokenization is a prefix-sum.** Harness docs are lowercase,
+   single-space-joined, trimmed, ``[a-z0-9 ]``-only word salads, so the
+   engine's offset tokenizer (functions/tokenization.py) degenerates to
+   whitespace split with ``start_i = sum(len(tok_j)+1, j<i)``.
+2. **The matcher's scan is a pure join.** With the harness gazetteer
+   (plans/entry_queries._harness_gazetteer) no term starts with a token
+   that occurs at a non-start position of any other same-label term, and
+   no term is a token-prefix of another — so longest-match-first and
+   non-overlap-consume are both no-ops and "all (position, term) matches"
+   is exactly the engine's output.
+
+Linking is oracled the way the round-1 verdict prescribed: the 12 query
+(raw-span) and 12 index (decorated-term) HashEmbedder vectors are emitted
+as SQL literals (exact float32 values, which are exactly representable as
+doubles); DuckDB then performs the inner-product scoring, the
+score-desc/ordinal-asc ranking, and the k-distinct selection itself. The
+36 resulting scores are fixed functions of the gazetteer (independent of
+sf) and were checked to sit > 2e-7 away from every 5-decimal rounding
+boundary, so float32 (engine) vs float64 (oracle) round identically.
+
+Triples: the harness alias graph is 1 code + 1 term per component, and
+connected_components labels a component by its lexicographic min node, so
+``entity_id = 'c:' || code`` (operators/canonicalize.py:83-97).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def _fmt_vec(v: np.ndarray) -> str:
+    return "[" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[]"
+
+
+def _terms_values(gaz_pdf: pd.DataFrame) -> tuple[str, int]:
+    """(label, n, t1..tN, term, code) VALUES rows; returns (sql, max_n)."""
+    toks_rows = []
+    for label, term, code in zip(
+        gaz_pdf["label"], gaz_pdf["term"], gaz_pdf["code"].astype(str)
+    ):
+        toks = term.split()
+        toks_rows.append((str(label).upper(), toks, term, code))
+    max_n = max(len(t) for _, t, _, _ in toks_rows)
+    rows = []
+    for label, toks, term, code in toks_rows:
+        tcols = ", ".join(
+            f"'{toks[i]}'" if i < len(toks) else "NULL" for i in range(max_n)
+        )
+        rows.append(f"('{label}', {len(toks)}, {tcols}, '{term}', '{code}')")
+    cols = ", ".join(f"t{i+1}" for i in range(max_n))
+    sql = (
+        f"terms(label, n, {cols}, term, code) AS (VALUES\n  "
+        + ",\n  ".join(rows)
+        + ")"
+    )
+    return sql, max_n
+
+
+def _mentions_ctes(gaz_pdf: pd.DataFrame, where: str = "") -> str:
+    """Shared WITH-clause body: documents -> offset tokens -> mentions."""
+    terms_sql, max_n = _terms_values(gaz_pdf)
+    leads = []
+    conds = []
+    end_cases = []
+    for i in range(2, max_n + 1):
+        leads.append(
+            f"lead(w, {i-1}) OVER (PARTITION BY url ORDER BY pos) AS w{i},\n"
+            f"         lead(start + CAST(length(w) AS INT), {i-1}) "
+            f"OVER (PARTITION BY url ORDER BY pos) AS e{i}"
+        )
+        conds.append(f"AND (t.n < {i} OR s.w{i} = t.t{i})")
+        end_cases.append(f"WHEN {i} THEN s.e{i}")
+    lead_sql = (",\n         ".join(leads) + ",") if leads else ""
+    cond_sql = "\n     ".join(conds)
+    end_sql = " ".join(end_cases)
+    return f"""docs AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents {where}
+),
+tok AS (
+  SELECT url,
+         unnest(regexp_extract_all(text, '\\S+')) AS w,
+         unnest(generate_series(1, len(regexp_extract_all(text, '\\S+')))) AS pos
+  FROM docs
+),
+otok AS (
+  SELECT url, pos, w,
+         CAST(COALESCE(SUM(length(w) + 1) OVER (
+             PARTITION BY url ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS start
+  FROM tok
+),
+seq AS (
+  SELECT url, pos, w, start,
+         {lead_sql}
+         start + CAST(length(w) AS INT) AS e1
+  FROM otok
+),
+{terms_sql},
+mentions AS (
+  SELECT s.url, t.label, s.start,
+         CASE t.n WHEN 1 THEN s.e1 {end_sql} END AS "end",
+         t.term AS span
+  FROM seq s JOIN terms t
+    ON s.w = t.t1
+     {cond_sql}
+)"""
+
+
+def detect_mentions_sql(gaz_pdf: pd.DataFrame) -> str:
+    return f"""
+    WITH {_mentions_ctes(gaz_pdf)}
+    SELECT url, label, start, "end", span FROM mentions
+    """
+
+
+def _vector_ctes(gaz_pdf: pd.DataFrame, k: int = 3) -> str:
+    """qv (raw-span query vectors) + iv (decorated index-term vectors)."""
+    from ..functions.embedder import HashEmbedder, l2_normalize
+    from ..operators.linking import build_indexes
+
+    emb = HashEmbedder()
+    qrows = []
+    for label, term in zip(gaz_pdf["label"], gaz_pdf["term"]):
+        v = l2_normalize(emb.encode([term]))[0]
+        qrows.append(f"('{str(label).upper()}', '{term}', {_fmt_vec(v)})")
+    irows = []
+    for label_u, idx in sorted(build_indexes(gaz_pdf, k=k).items()):
+        for ordinal, code in enumerate(idx.codes):
+            irows.append(
+                f"('{label_u}', {ordinal}, '{code}', "
+                f"{_fmt_vec(idx.matrix[ordinal])})"
+            )
+    return (
+        "qv(label, term, v) AS (VALUES\n  " + ",\n  ".join(qrows) + "),\n"
+        "iv(label, ord, code, v) AS (VALUES\n  " + ",\n  ".join(irows) + ")"
+    )
+
+
+def _ranked_ctes(gaz_pdf: pd.DataFrame, k: int = 3) -> str:
+    """mentions x index scored + ranked (score desc, ordinal asc).
+
+    The harness gazetteer has one synonym per code, so max_n_texts == k
+    and the k-distinct-codes scan (W3) reduces to top-k rows.
+    """
+    return f"""{_mentions_ctes(gaz_pdf)},
+{_vector_ctes(gaz_pdf, k)},
+scored AS (
+  SELECT m.url, m.start, m."end", m.label, m.span, i.code, i.ord,
+         list_dot_product(q.v, i.v) AS score
+  FROM mentions m
+  JOIN qv q ON q.label = m.label AND q.term = m.span
+  JOIN iv i ON i.label = m.label
+),
+ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY url, start, "end", label
+                               ORDER BY score DESC, ord ASC) AS rk
+  FROM scored
+)"""
+
+
+def link_mentions_sql(gaz_pdf: pd.DataFrame, k: int = 3) -> str:
+    return f"""
+    WITH {_ranked_ctes(gaz_pdf, k)}
+    SELECT url, start, "end", label, span,
+           '[' || string_agg('"' || code || '"', ',' ORDER BY rk) || ']'
+             AS codes_json
+    FROM ranked WHERE rk <= {k}
+    GROUP BY url, start, "end", label, span
+    """
+
+
+def triples_sql(gaz_pdf: pd.DataFrame, k: int = 3) -> str:
+    return f"""
+    WITH {_ranked_ctes(gaz_pdf, k)}
+    SELECT url AS subj, 'HAS_' || label AS pred, 'c:' || code AS obj, code,
+           CAST(rk - 1 AS INT) AS rank, start, "end", span,
+           ROUND(score, 5) AS score_r
+    FROM ranked WHERE rk <= {k}
+    """
+
+
+def _gaz_values(gaz_pdf: pd.DataFrame) -> str:
+    """gazt(label, ord, term, code): ordinal = row position within label
+    (the generator indexes keep gazetteer row order — candidates.py)."""
+    rows, counters = [], {}
+    for label, term, code in zip(
+        gaz_pdf["label"], gaz_pdf["term"], gaz_pdf["code"].astype(str)
+    ):
+        lu = str(label).upper()
+        o = counters.get(lu, 0)
+        counters[lu] = o + 1
+        rows.append(f"('{lu}', {o}, '{term}', '{code}')")
+    return "gazt(label, ord, term, code) AS (VALUES\n  " + ",\n  ".join(rows) + ")"
+
+
+# Shared candidate-generator index statistics (tokens are whitespace splits
+# of the raw gazetteer terms; harness terms contain no punctuation so the
+# engine tokenizers — offset tokenizer for BM25, \w\w+ analyzer for TF-IDF —
+# both degenerate to string_split).
+_GEN_STATS = """
+gtok AS (SELECT label, ord, term, code,
+                unnest(string_split(term, ' ')) AS t
+         FROM gazt),
+tf AS (SELECT label, ord, t, COUNT(*)::DOUBLE AS tf
+       FROM gtok GROUP BY label, ord, t),
+dl AS (SELECT label, ord, COUNT(*)::DOUBLE AS len FROM gtok GROUP BY label, ord),
+ad AS (SELECT label, AVG(len) AS avgdl FROM dl GROUP BY label),
+nn AS (SELECT label, COUNT(*)::DOUBLE AS n FROM gazt GROUP BY label),
+dfq AS (SELECT label, t, COUNT(DISTINCT ord)::DOUBLE AS df
+        FROM gtok GROUP BY label, t)
+"""
+
+
+def bm25_sql(gaz_pdf: pd.DataFrame, k: int = 5, where: str = "") -> str:
+    """rank_bm25 BM25Okapi semantics (k1=1.5, b=0.75, epsilon=0.25 idf
+    floor, ``norm_scores`` top-k sum normalization, ties at higher ordinal
+    first) — see operators/candidates.py docstring for the provenance."""
+    return f"""
+    WITH {_mentions_ctes(gaz_pdf, where)},
+    {_gaz_values(gaz_pdf)},
+    {_GEN_STATS},
+    idf0 AS (SELECT d.label, d.t, ln(n.n - d.df + 0.5) - ln(d.df + 0.5) AS v
+             FROM dfq d JOIN nn n USING (label)),
+    ai AS (SELECT label, AVG(v) AS av FROM idf0 GROUP BY label),
+    idf AS (SELECT i.label, i.t,
+                   CASE WHEN i.v < 0 THEN 0.25 * a.av ELSE i.v END AS idf
+            FROM idf0 i JOIN ai a USING (label)),
+    qtok AS (SELECT url, start, "end", label, span,
+                    unnest(string_split(span, ' ')) AS t
+             FROM mentions),
+    contrib AS (
+      SELECT q.url, q.start, q."end", q.label, tf.ord,
+             SUM(idf.idf * tf.tf * 2.5
+                 / (tf.tf + 1.5 * (0.25 + 0.75 * dl.len / ad.avgdl))) AS s
+      FROM qtok q
+      JOIN tf ON tf.label = q.label AND tf.t = q.t
+      JOIN dl ON dl.label = tf.label AND dl.ord = tf.ord
+      JOIN ad ON ad.label = q.label
+      JOIN idf ON idf.label = q.label AND idf.t = q.t
+      GROUP BY q.url, q.start, q."end", q.label, tf.ord
+    ),
+    allsc AS (
+      SELECT m.url, m.start, m."end", m.label, g.ord, g.term, g.code,
+             COALESCE(c.s, 0.0) AS score
+      FROM mentions m
+      JOIN gazt g ON g.label = m.label
+      LEFT JOIN contrib c ON c.url = m.url AND c.start = m.start
+        AND c."end" = m."end" AND c.label = m.label AND c.ord = g.ord
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url, start, "end", label
+                                   ORDER BY score DESC, ord DESC) AS rk
+      FROM allsc
+    ),
+    topk AS (SELECT * FROM ranked WHERE rk <= {k}),
+    sums AS (SELECT url, start, "end", label, SUM(score) AS s
+             FROM topk GROUP BY url, start, "end", label)
+    SELECT t.url, t.start, t."end", t.label, CAST(t.rk - 1 AS INT) AS rank,
+           t.term, t.code,
+           ROUND(t.score / (CASE WHEN s.s > 0 THEN s.s ELSE 1.0 END), 5)
+             AS score_r
+    FROM topk t JOIN sums s ON s.url = t.url AND s.start = t.start
+      AND s."end" = t."end" AND s.label = t.label
+    """
+
+
+def tfidf_sql(gaz_pdf: pd.DataFrame, k: int = 5, where: str = "") -> str:
+    """sklearn-default TF-IDF cosine (smooth idf, raw tf, l2 rows, ties at
+    higher ordinal first)."""
+    return f"""
+    WITH {_mentions_ctes(gaz_pdf, where)},
+    {_gaz_values(gaz_pdf)},
+    {_GEN_STATS},
+    idf AS (SELECT d.label, d.t, ln((1.0 + n.n) / (1.0 + d.df)) + 1.0 AS idf
+            FROM dfq d JOIN nn n USING (label)),
+    w AS (SELECT t.label, t.ord, t.t, t.tf * i.idf AS w
+          FROM tf t JOIN idf i ON i.label = t.label AND i.t = t.t),
+    nrm AS (SELECT label, ord, sqrt(SUM(w * w)) AS nrm
+            FROM w GROUP BY label, ord),
+    dots AS (SELECT a.label, a.ord AS qord, b.ord AS ord, SUM(a.w * b.w) AS dot
+             FROM w a JOIN w b ON a.label = b.label AND a.t = b.t
+             GROUP BY a.label, a.ord, b.ord),
+    cosin AS (SELECT d.label, d.qord, d.ord,
+                     d.dot / (na.nrm * nb.nrm) AS score
+              FROM dots d
+              JOIN nrm na ON na.label = d.label AND na.ord = d.qord
+              JOIN nrm nb ON nb.label = d.label AND nb.ord = d.ord),
+    allsc AS (
+      SELECT m.url, m.start, m."end", m.label, g.ord, g.term, g.code,
+             COALESCE(c.score, 0.0) AS score
+      FROM mentions m
+      JOIN gazt q ON q.label = m.label AND q.term = m.span
+      JOIN gazt g ON g.label = m.label
+      LEFT JOIN cosin c ON c.label = m.label AND c.qord = q.ord
+        AND c.ord = g.ord
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url, start, "end", label
+                                   ORDER BY score DESC, ord DESC) AS rk
+      FROM allsc
+    )
+    SELECT url, start, "end", label, CAST(rk - 1 AS INT) AS rank, term, code,
+           ROUND(score, 5) AS score_r
+    FROM ranked WHERE rk <= {k}
+    """
+
+
+def term_avg_sql(gaz_pdf: pd.DataFrame, k: int = 3, where: str = "") -> str:
+    """A9 code-centroid retrieval: centroid vectors as literals (mean of a
+    code's raw decorated-term embeddings, L2-normalized — for the harness
+    gazetteer each code has one synonym), ranking in SQL (score desc,
+    code-ordinal asc)."""
+    from ..operators.candidates import build_term_avg_index
+
+    av_rows = []
+    for label in sorted({str(x) for x in gaz_pdf["label"]}):
+        idx = build_term_avg_index(gaz_pdf, label, k=k)
+        for ordinal, code in enumerate(idx.codes):
+            av_rows.append(
+                f"('{label.upper()}', {ordinal}, '{code}', "
+                f"{_fmt_vec(idx.matrix[ordinal])})"
+            )
+    qv_rows = []
+    from ..functions.embedder import HashEmbedder, l2_normalize
+
+    emb = HashEmbedder()
+    for label, term in zip(gaz_pdf["label"], gaz_pdf["term"]):
+        v = l2_normalize(emb.encode([term]))[0]
+        qv_rows.append(f"('{str(label).upper()}', '{term}', {_fmt_vec(v)})")
+    return f"""
+    WITH {_mentions_ctes(gaz_pdf, where)},
+    qv(label, term, v) AS (VALUES\n  {','.join(qv_rows)}),
+    av(label, ord, code, v) AS (VALUES\n  {','.join(av_rows)}),
+    scored AS (
+      SELECT m.url, m.start, m."end", m.label, a.code, a.ord,
+             list_dot_product(q.v, a.v) AS score
+      FROM mentions m
+      JOIN qv q ON q.label = m.label AND q.term = m.span
+      JOIN av a ON a.label = m.label
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url, start, "end", label
+                                   ORDER BY score DESC, ord ASC) AS rk
+      FROM scored
+    )
+    SELECT url, start, "end", label, CAST(rk - 1 AS INT) AS rank, code,
+           ROUND(score, 5) AS score_r
+    FROM ranked WHERE rk <= {k}
+    """

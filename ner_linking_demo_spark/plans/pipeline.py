@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..functions.embedder import HashEmbedder
+from ..sources.embeddings_cache import gaz_content_hash
 from ..operators.linking import build_indexes, detect_and_link, link_mentions
 from ..operators.ner import detect_mentions
 from ..operators.triples import build_entities_local, build_triples
@@ -58,7 +59,9 @@ def run_pipeline(
     table's snapshot id); defaults to a shape-based signature.
     """
     embedder = embedder or HashEmbedder()
-    gaz_sig = f"gaz{len(gazetteer_pdf)}"
+    # Content hash, not row count: editing a term/code/tag without changing
+    # the row count must invalidate every dependent snapshot.
+    gaz_sig = f"gaz{gaz_content_hash(gazetteer_pdf)[:16]}"
     input_sig = input_sig or _sig("pages", pages.schema.simpleString())
     cat = (
         CheckpointCatalog(spark, checkpoint_dir) if checkpoint_dir else None
@@ -118,11 +121,13 @@ def run_pipeline(
 
     triples, edges = build_triples(linked, code2entity)
     if cat:
+        # reranker is part of the signature: triples/edges derive from the
+        # 'linked' stage, so their snapshots must invalidate with it.
         triples = cat.stage(
-            "triples", _sig(input_sig, gaz_sig, k), lambda: triples
+            "triples", _sig(input_sig, gaz_sig, k, reranker), lambda: triples
         )
         edges = cat.stage(
-            "edges", _sig(input_sig, gaz_sig, k), lambda: edges
+            "edges", _sig(input_sig, gaz_sig, k, reranker), lambda: edges
         )
 
     return PipelineResult(

@@ -21,12 +21,28 @@ from ..functions.embedder import HashEmbedder
 from ..functions.term_index import TermIndex, build_term_index
 
 
-def _gaz_fingerprint(gaz_pdf: pd.DataFrame, embedder: HashEmbedder) -> str:
+def gaz_content_hash(gaz_pdf: pd.DataFrame) -> str:
+    """Order-independent content hash of (label, code, term, semantic_tag).
+
+    Used both here (embedding-cache key) and as the gazetteer component of
+    checkpoint-stage signatures (plans/pipeline.py) — editing any term,
+    code, or tag invalidates dependent snapshots even when the row count
+    is unchanged (round-1 advice)."""
     h = hashlib.md5()
-    for label, code, term in sorted(
-        zip(gaz_pdf["label"], gaz_pdf["code"].astype(str), gaz_pdf["term"])
+    tags = (
+        gaz_pdf["semantic_tag"].astype(str)
+        if "semantic_tag" in gaz_pdf.columns
+        else [""] * len(gaz_pdf)
+    )
+    for label, code, term, tag in sorted(
+        zip(gaz_pdf["label"], gaz_pdf["code"].astype(str), gaz_pdf["term"], tags)
     ):
-        h.update(f"{label}\x1f{code}\x1f{term}\x1e".encode())
+        h.update(f"{label}\x1f{code}\x1f{term}\x1f{tag}\x1e".encode())
+    return h.hexdigest()
+
+
+def _gaz_fingerprint(gaz_pdf: pd.DataFrame, embedder: HashEmbedder) -> str:
+    h = hashlib.md5(gaz_content_hash(gaz_pdf).encode())
     h.update(f"dim{embedder.dim}seed{embedder.seed}".encode())
     return h.hexdigest()
 

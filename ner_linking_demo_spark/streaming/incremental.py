@@ -3,14 +3,26 @@
 ``foreachBatch`` is the idiomatic bridge when the transformation is a
 mature batch plan (broadcast state, multi-output writes) rather than a
 native streaming aggregation; each micro-batch gets the fused
-pages->linked->triples plan and appends to the output location.
-Exactly-once: batch ids are recorded next to the output so a replayed
-micro-batch (restart from the streaming checkpoint) is skipped.
+pages->linked->triples plan and publishes into the output location.
+
+Exactly-once protocol (commit-before-publish, round-1 advice fix): each
+micro-batch writes to a batch-id-named STAGING directory, then publishes
+with one atomic directory rename into ``triples/batch_id=N``. The
+published directory is itself the commit record — a replayed micro-batch
+(restart from the streaming checkpoint) sees the final directory and
+skips, and a crash between write and rename leaves only staging garbage
+that the retry overwrites. No ordering window exists between "data
+visible" and "batch recorded" because they are the same rename.
+
+Caveats (documented, not hidden): the rename is atomic on POSIX and HDFS;
+on S3-like stores use a committer or read-side dedupe on the embedded
+``batch_id`` partition column, which is written into the layout for
+exactly that purpose. Single-driver assumption as with the checkpoint
+catalog (plans/catalog.py).
 """
 
 from __future__ import annotations
 
-import json
 import os
 
 import pandas as pd
@@ -28,30 +40,27 @@ def incremental_pipeline(
     k: int = 3,
     trigger_once: bool = True,
 ):
-    """pages readStream -> per-micro-batch KG pipeline -> parquet appends.
+    """pages readStream -> per-micro-batch KG pipeline -> atomic publishes.
 
+    Output is a ``batch_id``-partitioned parquet layout under
+    ``out_dir/triples`` (read it back with ``spark.read.parquet``).
     ``trigger_once=True`` (availableNow) drains what's there and stops —
     the batch-job-with-streaming-bookkeeping mode; ``False`` runs
     continuously."""
-    os.makedirs(out_dir, exist_ok=True)
-    seen_path = os.path.join(out_dir, "_batches.json")
+    triples_root = os.path.join(out_dir, "triples")
+    staging_root = os.path.join(out_dir, "_staging")
+    os.makedirs(triples_root, exist_ok=True)
+    os.makedirs(staging_root, exist_ok=True)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        seen = set()
-        if os.path.exists(seen_path):
-            with open(seen_path) as f:
-                seen = set(json.load(f))
-        if batch_id in seen:
-            return  # replayed micro-batch: already committed
+        final = os.path.join(triples_root, f"batch_id={batch_id}")
+        if os.path.exists(final):
+            return  # replayed micro-batch: already published atomically
         res = run_pipeline(spark, batch_df, gazetteer_pdf, k=k)
-        res.triples.write.mode("append").parquet(
-            os.path.join(out_dir, "triples")
-        )
-        seen.add(batch_id)
-        tmp = seen_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(sorted(seen), f)
-        os.replace(tmp, seen_path)
+        staging = os.path.join(staging_root, f"batch-{batch_id}")
+        # overwrite: a crashed earlier attempt may have left partial staging
+        res.triples.write.mode("overwrite").parquet(staging)
+        os.replace(staging, final)  # single atomic publish == commit record
 
     writer = (
         pages_stream.writeStream.foreachBatch(process)

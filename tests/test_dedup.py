@@ -68,8 +68,17 @@ def test_minhash_df_vs_expression_form(spark, corpus):
         assert by_id_e[i] == by_id_e[100 + i]
 
 
+def test_simhash_banding_guard(spark, corpus):
+    # max_hamming=6 with 32/8=4 bands would silently miss qualifying pairs
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bands"):
+        DD.simhash_neardup_pairs(corpus, max_hamming=6)
+
+
 def test_simhash_near_dups_close(spark, corpus):
-    pairs = DD.simhash_neardup_pairs(corpus, max_hamming=6).toPandas()
+    # band_bits=4 -> 8 bands > max_hamming=6: pigeonhole guarantee holds
+    pairs = DD.simhash_neardup_pairs(corpus, max_hamming=6, band_bits=4).toPandas()
     found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
     for i in range(5):
         assert (i, 100 + i) in found

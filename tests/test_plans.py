@@ -43,3 +43,22 @@ def test_checkpointed_plan_prunes_pages_columns(
     p = _plan(detect_mentions(pages, golden_gazetteer))
     udf_input = p.split("MapInPandas")[1][:300]
     assert "html" not in udf_input and "warc_ts" not in udf_input
+
+
+def test_lsh_pair_join_never_shuffles_text(spark):
+    """Round-1 verdict scale-killer: the MinHash-LSH banding explode, the
+    bucket-size aggregation, and the bucket self-join must carry only
+    (id, band, bucket) — never the document text. Text may appear solely
+    in the scan->UDF signature stage and the final by-id shingle joins."""
+    from ner_linking_demo_spark.operators import dedup as DD
+
+    docs = spark.createDataFrame(
+        [(i, f"w{i} common tokens here for doc {i}") for i in range(20)],
+        "doc_id long, text string",
+    )
+    plan = _plan(DD.minhash_lsh_pairs(docs))
+    # every Exchange block: its output schema must not contain text unless
+    # it is one of the two id-keyed shingle-set joins (sh_a / sh_b)
+    for block in re.split(r"\(\d+\) ", plan):
+        if block.startswith("Exchange") and "text#" in block:
+            raise AssertionError(f"text rides a shuffle:\n{block}")
