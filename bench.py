@@ -92,6 +92,30 @@ def main() -> None:
     )
     timings["kg_pipeline_e2e"] = round(kg_wall, 3)
 
+    # --- checkpointed (two-stage, resumable) plan: the resumability tax
+    # as a number next to the fused plan ------------------------------
+    ckpt_wall = None
+    if os.environ.get("NLDS_BENCH_ONLY") != "kg":
+        import shutil
+        import tempfile
+
+        def run_ckpt():
+            d = tempfile.mkdtemp(prefix="nlds_bench_ckpt_")
+            try:
+                t0 = time.time()
+                _materialize(
+                    run_pipeline(
+                        spark, pages, gaz, k=3, num_partitions=cpus * 2,
+                        checkpoint_dir=d,
+                    ).triples
+                )
+                return time.time() - t0
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+
+        ckpt_wall = min(run_ckpt() for _ in range(repeats))
+        timings["kg_pipeline_checkpointed"] = round(ckpt_wall, 3)
+
     # --- representative operator queries --------------------------------
     bench_queries = [] if os.environ.get("NLDS_BENCH_ONLY") == "kg" else [
         "a1_pricing_summary",
@@ -102,6 +126,8 @@ def main() -> None:
         "dedup_minhash_lsh",
         "dedup_simhash",
         "ann_bruteforce_topk",
+        "ann_join_topk",
+        "kg_detect_mentions_iob",
         "text_token_count",
         "text_quality_score",
         "kg_connected_components",
@@ -126,6 +152,9 @@ def main() -> None:
                 "cpus": cpus,
                 "n_docs": n_docs,
                 "kg_docs_per_sec": docs_per_sec,
+                "kg_docs_per_sec_checkpointed": (
+                    round(n_docs / ckpt_wall, 2) if ckpt_wall else None
+                ),
             }
         )
     )

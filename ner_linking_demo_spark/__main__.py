@@ -24,7 +24,7 @@ import os
 import pandas as pd
 
 
-def main(argv: list[str] | None = None) -> None:
+def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     ap = argparse.ArgumentParser(prog="ner_linking_demo_spark")
     ap.add_argument("--pages", required=True, help="parquet dir or table name")
     ap.add_argument("--gazetteer", required=True, help="gazetteer TSV path")
@@ -67,7 +67,8 @@ def main(argv: list[str] | None = None) -> None:
     ):
         df.write.mode("overwrite").parquet(f"{args.out}/{name}")
     print("invariants:", verify_invariants(res))
-    spark.stop()
+    if stop_session:  # False for in-process (test) callers sharing a session
+        spark.stop()
 
 
 if __name__ == "__main__":

@@ -83,16 +83,34 @@ def disambiguate_terms_df(gaz_df: DataFrame, semantic_tag: bool = True) -> DataF
         if semantic_tag
         else F.col("term")
     )
-    per_term = (
+    # Two-phase global ordinal (round-1 verdict: a bare
+    # Window.orderBy("term") funnels every distinct term through ONE task).
+    # Phase 1: ordinal within an order-preserving prefix bucket; phase 2:
+    # bucket offsets = exclusive prefix-sum over the per-bucket counts — a
+    # bucket-count-sized table, so ITS single-partition window is O(|alphabet|^2)
+    # rows, not O(|terms|). Deterministic (no sampling), skew bounded by the
+    # prefix distribution of the vocabulary.
+    grouped = (
         gaz_df.select(
             term_col.alias("term"), F.col("code").cast("string").alias("code")
         )
         .groupBy("term")
         .agg(F.sort_array(F.collect_set("code")).alias("codes"))
-        .withColumn(
-            "ordinal",
-            F.row_number().over(Window.orderBy("term")) - F.lit(1),
-        )
+        .withColumn("_bkt", F.substring("term", 1, 2))
+    )
+    w_buckets = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        grouped.groupBy("_bkt")
+        .count()
+        .withColumn("_off", F.coalesce(F.sum("count").over(w_buckets), F.lit(0)))
+        .drop("count")
+    )
+    w_in_bucket = Window.partitionBy("_bkt").orderBy("term")
+    per_term = grouped.join(F.broadcast(offsets), "_bkt").withColumn(
+        "ordinal",
+        F.row_number().over(w_in_bucket) - F.lit(1) + F.col("_off"),
     )
 
     @F.pandas_udf(T.StringType())

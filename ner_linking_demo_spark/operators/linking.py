@@ -281,13 +281,18 @@ def detect_and_link(
             )
 
     projected = pages.select(url_col, text_col)
-    n = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
     # hash repartition: single-pass (repartitionByRange would add a
     # sampling scan of the pages), uniform for high-cardinality urls;
     # giant-page balancing comes from the small partition payload target.
-    balanced = projected.repartition(n, F.col(url_col))
+    # num_partitions=0 skips the shuffle: trust the input layout (storage
+    # already url-partitioned) — zero exchanges before the UDF.
+    if num_partitions == 0:
+        balanced = projected
+    else:
+        n = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        balanced = projected.repartition(n, F.col(url_col))
     return balanced.mapInPandas(run, schema=LINKED_SCHEMA)
 
 

@@ -47,28 +47,72 @@ MENTIONS_SCHEMA = T.StructType(
 )
 
 
+class TokenClassifierMentionProvider:
+    """M2 NER provider: the full token-classification lifecycle
+    (M1 fragment -> classifier forward -> A3 word prob product -> F9
+    argmax -> M3 IOB decode) behind the same ``find_mentions(text)``
+    contract as the DictionaryMatcher — the two providers are
+    interchangeable inputs to :func:`detect_mentions`.
+
+    Reference lifecycle: `mentions_detection.py:185-241` +
+    `post_process.py:619-666`; the classifier seat takes real transformer
+    weights without operator changes (ModelProvider pattern)."""
+
+    def __init__(self, classifier=None, label: str = "SPAN", seq_len: int = 128):
+        from ..functions.token_classifier import HashTokenClassifier
+
+        self.classifier = classifier or HashTokenClassifier()
+        self.label = label
+        self.seq_len = seq_len
+
+    def find_mentions(self, text: str) -> list[tuple[str, int, int, str]]:
+        from ..functions.fragments import fragment_document
+        from ..functions.token_classifier import word_tags_from_probs
+        from .iob import decode_iob_scan
+
+        frags = fragment_document(text, seq_len=self.seq_len)
+        probs = self.classifier.predict(frags)
+        tags, offsets = word_tags_from_probs(frags, probs)
+        return [
+            (self.label, s, e, text[s:e])
+            for s, e in decode_iob_scan(tags, offsets)
+        ]
+
+
 def detect_mentions(
     pages: DataFrame,
-    gazetteer_pdf: pd.DataFrame,
+    gazetteer_pdf: pd.DataFrame | None = None,
     num_partitions: int | None = None,
     text_col: str = "text",
     url_col: str = "url",
+    provider=None,
 ) -> DataFrame:
     """pages(url, text, ...) -> mentions(url, label, start, end, span).
 
     Labels are upper-cased on output (reference
     ``mentions_detection.py:272``). Mention key (url, start, end, label)
     is unique by construction (non-overlap per label within a doc).
+
+    ``provider``: any object exposing ``find_mentions(text) ->
+    [(label, start, end, span)]``. Two shipped providers: the gazetteer
+    DictionaryMatcher surrogate (default, built from ``gazetteer_pdf``)
+    and :class:`TokenClassifierMentionProvider` (the M2 model path).
     """
     spark = pages.sparkSession
-    terms_by_label = {
-        str(label): list(sub["term"])
-        for label, sub in gazetteer_pdf.groupby("label")
-    }
-    bc = spark.sparkContext.broadcast(terms_by_label)
+    if provider is None:
+        if gazetteer_pdf is None:
+            raise ValueError("need gazetteer_pdf or an explicit provider")
+        terms_by_label = {
+            str(label): list(sub["term"])
+            for label, sub in gazetteer_pdf.groupby("label")
+        }
+        bc = spark.sparkContext.broadcast(("dict", terms_by_label))
+    else:
+        bc = spark.sparkContext.broadcast(("provider", provider))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        matcher = DictionaryMatcher(bc.value)  # once per python worker
+        kind, payload = bc.value  # once per python worker
+        matcher = DictionaryMatcher(payload) if kind == "dict" else payload
         for pdf in batches:
             rows: list[tuple] = []
             for url, text in zip(pdf[url_col], pdf[text_col]):
@@ -81,12 +125,18 @@ def detect_mentions(
     projected = pages.select(
         F.col(url_col).alias(url_col), F.col(text_col).alias(text_col)
     )
-    n = num_partitions or int(
-        spark.conf.get("spark.sql.shuffle.partitions", "32")
-    )
     # Hash-partition on url: deterministic given (url, n), uniform for
     # high-cardinality url keys, and single-pass (range partitioning would
     # add a sampling scan). The checkpointed path's lineage counters are
-    # keyed by this stable partitioning.
-    balanced = projected.repartition(n, F.col(url_col))
+    # keyed by this stable partitioning. num_partitions=0 SKIPS the
+    # shuffle entirely — use when the input table's storage layout is
+    # already url-hash-partitioned (e.g. a bucketed/partitioned Iceberg
+    # scan): at 100 TB this avoids re-shuffling the whole corpus.
+    if num_partitions == 0:
+        balanced = projected
+    else:
+        n = num_partitions or int(
+            spark.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+        balanced = projected.repartition(n, F.col(url_col))
     return balanced.mapInPandas(run, schema=MENTIONS_SCHEMA)

@@ -739,7 +739,74 @@ def ann_bruteforce_topk(spark, sf_dir):
     return top.select("vec_id", F.round("cosine", 6).alias("cosine"))
 
 
-@q("ann_lsh_topk", None)  # recall vs brute force tested in pytest
+def _ann_join_sql(n_planes: int = 8, dim: int = 64, k: int = 10,
+                  probe_bits: int = 1, n_queries: int = 10) -> str:
+    """Exact-LSH-semantics oracle for ann_join: hyperplanes as literals,
+    buckets/norms/cosines in SQL; the engine's multi-probe bucket set
+    equals the Hamming ball, i.e. ``bit_count(xor(qb, ib)) <= probe_bits``.
+    """
+    planes = SIM.hyperplanes(dim=dim, n_planes=n_planes)
+    pl_rows = ",\n      ".join(
+        f"({b}, [{', '.join(repr(float(x)) for x in planes[b])}]::DOUBLE[])"
+        for b in range(n_planes)
+    )
+    return f"""
+    WITH pl(b, v) AS (VALUES
+      {pl_rows}),
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bk AS (
+      SELECT base.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(base.v, pl.v) > 0
+                      THEN 1::BIGINT << pl.b ELSE 0 END) AS BIGINT) AS bucket
+      FROM base, pl GROUP BY base.vec_id
+    ),
+    side AS (
+      SELECT b.vec_id, b.v, k.bucket,
+             sqrt(list_dot_product(b.v, b.v)) AS nrm
+      FROM base b JOIN bk k USING (vec_id)
+    ),
+    cand AS (
+      SELECT q.vec_id AS q_id, i.vec_id,
+             list_dot_product(q.v, i.v) / (q.nrm * i.nrm) AS cosine
+      FROM side q JOIN side i
+        ON bit_count(xor(q.bucket, i.bucket)) <= {probe_bits}
+      WHERE q.vec_id < {n_queries}
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY cosine DESC, vec_id ASC) AS rank
+      FROM cand
+    )
+    SELECT q_id, vec_id, CAST(rank AS INT) AS rank,
+           ROUND(cosine, 6) AS cosine_r
+    FROM ranked WHERE rank <= {k}
+    """
+
+
+@q("ann_join_topk", _ann_join_sql())
+def ann_join_topk(spark, sf_dir):
+    """Batch ANN join (query DF x indexed corpus): the scale path replacing
+    the single-driver-vector probe; oracle reproduces the LSH bucket +
+    multi-probe semantics exactly (not brute force), so the match is an
+    equality, not a recall bound. Recall vs brute force is pytest-gated
+    in tests/test_similarity.py."""
+    e = _t(spark, sf_dir, "embeddings")
+    planes = SIM.hyperplanes(dim=64, n_planes=8)
+    out = SIM.ann_join(
+        e.filter("vec_id < 10").select(F.col("vec_id").alias("q_id"), "embedding"),
+        e,
+        planes,
+        k=10,
+        probe_bits=1,
+    )
+    return out.select(
+        "q_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine_r")
+    )
+
+
+@q("ann_lsh_topk", None)  # single-vector probe variant; the batch path
+# (ann_join_topk) carries the exact oracle — this one's recall is
+# pytest-gated vs brute force in tests/test_similarity.py
 def ann_lsh_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qvec = e.filter("vec_id = 0").select("embedding").head()[0]
@@ -960,6 +1027,20 @@ def kg_detect_mentions(spark, sf_dir):
     )
 
 
+@q("kg_detect_mentions_iob", _KG.iob_detect_sql(where="WHERE doc_id < 150"))
+def kg_detect_mentions_iob(spark, sf_dir):
+    """M2 real-model NER plan: the token-classification lifecycle
+    (M1 fragment -> surrogate classifier forward -> A3 word log-prob sum
+    -> F9 argmax -> M3 IOB decode) inside one Arrow-batched UDF; the
+    DuckDB oracle recomputes the whole chain from md5 logits in SQL."""
+    from ..operators.ner import TokenClassifierMentionProvider, detect_mentions
+
+    return detect_mentions(
+        _docs_as_pages(spark, sf_dir, limit=150),
+        provider=TokenClassifierMentionProvider(),
+    )
+
+
 @q("kg_link_mentions", _KG.link_mentions_sql(_HGAZ, k=3))
 def kg_link_mentions(spark, sf_dir):
     from ..operators.linking import build_indexes, link_mentions
@@ -1138,6 +1219,55 @@ def eval_prf_at_k(spark, sf_dir):
 
 
 @q(
+    "a11_best_k",
+    """
+    WITH base AS (
+      SELECT l_orderkey,
+             (array_agg(DISTINCT l_suppkey ORDER BY l_suppkey)) AS codes,
+             [arg_min(l_suppkey, l_linenumber + l_suppkey * 0.001)] AS gold
+      FROM lineitem GROUP BY l_orderkey
+    ),
+    m AS (
+      SELECT k, ROUND(AVG(len(list_intersect(codes[1:k], gold))::DOUBLE
+                          / greatest(len(gold), 1)), 6) AS r_at_k
+      FROM base, (SELECT unnest([1, 2, 3, 4]) AS k)
+      GROUP BY k
+    )
+    SELECT k, r_at_k FROM m ORDER BY r_at_k DESC, k ASC LIMIT 1
+    """,
+)
+def a11_best_k(spark, sf_dir):
+    """A11 (`evaluation.py:216-221`): best k by recall over a (k, r_at_k)
+    metric table — exercises best_k_by_recall itself; the returned row is
+    the metrics row for the chosen k."""
+    from ..functions.evaluation import best_k_by_recall
+
+    li = _t(spark, sf_dir, "lineitem")
+    base = li.groupBy("l_orderkey").agg(
+        F.sort_array(F.collect_set("l_suppkey")).alias("codes"),
+        F.array(
+            F.min_by(
+                F.col("l_suppkey"),
+                F.col("l_linenumber") + F.col("l_suppkey") * 0.001,
+            )
+        ).alias("gold"),
+    )
+    exploded = base.withColumn(
+        "k", F.explode(F.array(*[F.lit(i) for i in (1, 2, 3, 4)]))
+    )
+    inter = F.size(
+        F.array_intersect(F.expr("slice(codes, 1, k)"), F.col("gold"))
+    ).cast("double")
+    metrics = exploded.groupBy("k").agg(
+        F.round(
+            F.avg(inter / F.greatest(F.size("gold"), F.lit(1))), 6
+        ).alias("r_at_k")
+    )
+    best = best_k_by_recall(metrics)
+    return metrics.filter(F.col("k") == F.lit(best))
+
+
+@q(
     "f11_context_window",
     """
     SELECT doc_id,
@@ -1250,7 +1380,10 @@ def cand_term_avg(spark, sf_dir):
     )
 
 
-@q("rerank_crossencoder", None)  # blake2b surrogate: not SQL-expressible
+@q(
+    "rerank_crossencoder",
+    _KG.rerank_sql(_HGAZ, "crossencoder", where="WHERE doc_id < 200"),
+)
 def rerank_crossencoder(spark, sf_dir):
     from ..operators.linking import build_indexes, knn_candidates
     from ..operators.ner import detect_mentions
@@ -1264,11 +1397,14 @@ def rerank_crossencoder(spark, sf_dir):
     out = crossencoder_rerank(cands)
     return out.select(
         "url", "start", "end", "label", "term", "rank", "rerank",
-        F.round("ce_score", 5).alias("ce_r"),
+        F.round(F.col("ce_score").cast("double"), 5).alias("ce_r"),
     )
 
 
-@q("rerank_biencoder", None)
+@q(
+    "rerank_biencoder",
+    _KG.rerank_sql(_HGAZ, "biencoder", where="WHERE doc_id < 200"),
+)
 def rerank_biencoder(spark, sf_dir):
     from ..operators.linking import build_indexes, knn_candidates
     from ..operators.ner import detect_mentions
@@ -1282,7 +1418,7 @@ def rerank_biencoder(spark, sf_dir):
     out = biencoder_rerank(cands)
     return out.select(
         "url", "start", "end", "label", "term", "rank", "rerank",
-        F.round("rerank_score", 5).alias("bi_r"),
+        F.round(F.col("rerank_score").cast("double"), 5).alias("bi_r"),
     )
 
 
@@ -1370,8 +1506,23 @@ def mm_media_meta(spark, sf_dir):
     )
 
 
-@q("mm_extract_features", None)  # binary decode plumbing; rows-only
+@q(
+    "mm_extract_features",
+    """
+    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
+             AS space_count,
+           CAST(octet_length(encode(text)) AS BIGINT) AS len_feat
+    FROM documents
+    """,
+)
 def mm_extract_features(spark, sf_dir):
+    """Binary decode plumbing through the fake decoder (16-bin high-nibble
+    byte histogram + length). Oracled integer-exactly: histogram bin 2
+    (high-nibble 0x2) counts exactly the spaces in the ASCII harness
+    payload, and the final feature is the byte length — un-normalizing the
+    float32 ratio by n_bytes recovers the integer count (rel err 6e-8 * k
+    << 0.5), so no float-boundary flakiness."""
     from ..operators.multimodal import extract_features, media_from_documents
 
     d = _t(spark, sf_dir, "documents")
@@ -1379,7 +1530,10 @@ def mm_extract_features(spark, sf_dir):
     return feats.select(
         "doc_id",
         "n_bytes",
-        F.round(F.element_at("features", 1).cast("double"), 6).alias("f0"),
+        F.round(F.element_at("features", 3).cast("double") * F.col("n_bytes"))
+        .cast("long")
+        .alias("space_count"),
+        F.element_at("features", 17).cast("long").alias("len_feat"),
     )
 
 

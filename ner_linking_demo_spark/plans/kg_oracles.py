@@ -64,6 +64,28 @@ def _terms_values(gaz_pdf: pd.DataFrame) -> tuple[str, int]:
     return sql, max_n
 
 
+def _otok_ctes(where: str = "") -> str:
+    """documents -> (url, pos, w, start) offset tokens — valid because the
+    harness docs are single-space-joined trimmed word salads (module
+    docstring precondition 1)."""
+    return f"""docs AS (
+  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents {where}
+),
+tok AS (
+  SELECT url,
+         unnest(regexp_extract_all(text, '\\S+')) AS w,
+         unnest(generate_series(1, len(regexp_extract_all(text, '\\S+')))) AS pos
+  FROM docs
+),
+otok AS (
+  SELECT url, pos, w,
+         CAST(COALESCE(SUM(length(w) + 1) OVER (
+             PARTITION BY url ORDER BY pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS start
+  FROM tok
+)"""
+
+
 def _mentions_ctes(gaz_pdf: pd.DataFrame, where: str = "") -> str:
     """Shared WITH-clause body: documents -> offset tokens -> mentions."""
     terms_sql, max_n = _terms_values(gaz_pdf)
@@ -81,22 +103,7 @@ def _mentions_ctes(gaz_pdf: pd.DataFrame, where: str = "") -> str:
     lead_sql = (",\n         ".join(leads) + ",") if leads else ""
     cond_sql = "\n     ".join(conds)
     end_sql = " ".join(end_cases)
-    return f"""docs AS (
-  SELECT 'doc://' || CAST(doc_id AS VARCHAR) AS url, text FROM documents {where}
-),
-tok AS (
-  SELECT url,
-         unnest(regexp_extract_all(text, '\\S+')) AS w,
-         unnest(generate_series(1, len(regexp_extract_all(text, '\\S+')))) AS pos
-  FROM docs
-),
-otok AS (
-  SELECT url, pos, w,
-         CAST(COALESCE(SUM(length(w) + 1) OVER (
-             PARTITION BY url ORDER BY pos
-             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS INT) AS start
-  FROM tok
-),
+    return f"""{_otok_ctes(where)},
 seq AS (
   SELECT url, pos, w, start,
          {lead_sql}
@@ -133,27 +140,28 @@ def _vector_ctes(gaz_pdf: pd.DataFrame, k: int = 3) -> str:
         qrows.append(f"('{str(label).upper()}', '{term}', {_fmt_vec(v)})")
     irows = []
     for label_u, idx in sorted(build_indexes(gaz_pdf, k=k).items()):
-        for ordinal, code in enumerate(idx.codes):
+        for ordinal, (code, term) in enumerate(zip(idx.codes, idx.terms)):
             irows.append(
-                f"('{label_u}', {ordinal}, '{code}', "
+                f"('{label_u}', {ordinal}, '{code}', '{term}', "
                 f"{_fmt_vec(idx.matrix[ordinal])})"
             )
     return (
         "qv(label, term, v) AS (VALUES\n  " + ",\n  ".join(qrows) + "),\n"
-        "iv(label, ord, code, v) AS (VALUES\n  " + ",\n  ".join(irows) + ")"
+        "iv(label, ord, code, term, v) AS (VALUES\n  "
+        + ",\n  ".join(irows) + ")"
     )
 
 
-def _ranked_ctes(gaz_pdf: pd.DataFrame, k: int = 3) -> str:
+def _ranked_ctes(gaz_pdf: pd.DataFrame, k: int = 3, where: str = "") -> str:
     """mentions x index scored + ranked (score desc, ordinal asc).
 
     The harness gazetteer has one synonym per code, so max_n_texts == k
     and the k-distinct-codes scan (W3) reduces to top-k rows.
     """
-    return f"""{_mentions_ctes(gaz_pdf)},
+    return f"""{_mentions_ctes(gaz_pdf, where)},
 {_vector_ctes(gaz_pdf, k)},
 scored AS (
-  SELECT m.url, m.start, m."end", m.label, m.span, i.code, i.ord,
+  SELECT m.url, m.start, m."end", m.label, m.span, i.code, i.term, i.ord,
          list_dot_product(q.v, i.v) AS score
   FROM mentions m
   JOIN qv q ON q.label = m.label AND q.term = m.span
@@ -354,4 +362,122 @@ def term_avg_sql(gaz_pdf: pd.DataFrame, k: int = 3, where: str = "") -> str:
     SELECT url, start, "end", label, CAST(rk - 1 AS INT) AS rank, code,
            ROUND(score, 5) AS score_r
     FROM ranked WHERE rk <= {k}
+    """
+
+
+def iob_detect_sql(where: str = "", sub_width: int = 4) -> str:
+    """Oracle for the M2 token-classifier NER chain
+    (operators/ner.TokenClassifierMentionProvider): reproduces the
+    surrogate subtokenizer (fixed-width pieces, '##' continuations —
+    functions/fragments.surrogate_subtokenize), the hash softmax logits
+    (functions/token_classifier.piece_logits: md5('{piece}|{label}') first
+    8 hex digits / 2^32-1), the A3 per-word log-prob sum, the F9 argmax
+    (lowest-index tie-break over (B, I, O)), and the M3 windowed IOB
+    decode — entirely in SQL. Fragment packing does not affect the result
+    (word log-probs are accumulated across fragments), so the oracle skips
+    it; packing invariants are pytest-gated separately."""
+    w = sub_width
+    lg = (
+        "(('0x' || substr(md5(piece || '|{lab}'), 1, 8))::BIGINT"
+        " / 4294967295.0)"
+    )
+    lb, li, lo = (lg.format(lab=lab) for lab in ("B", "I", "O"))
+    return f"""
+    WITH {_otok_ctes(where)},
+    pieces AS (
+      SELECT url, pos, w, start, start + CAST(length(w) AS INT) AS "end",
+             unnest(generate_series(
+               1, CAST(ceil(length(w) / {w}.0) AS INT))) AS pj
+      FROM otok
+    ),
+    p2 AS (
+      SELECT url, pos, w, start, "end",
+             CASE WHEN pj = 1 THEN substr(w, 1, {w})
+                  ELSE '##' || substr(w, (pj - 1) * {w} + 1, {w}) END AS piece
+      FROM pieces
+    ),
+    plp AS (
+      SELECT url, pos, w, start, "end",
+             ln(exp({lb}) / (exp({lb}) + exp({li}) + exp({lo}))) AS ln_b,
+             ln(exp({li}) / (exp({lb}) + exp({li}) + exp({lo}))) AS ln_i,
+             ln(exp({lo}) / (exp({lb}) + exp({li}) + exp({lo}))) AS ln_o
+      FROM p2
+    ),
+    words AS (
+      SELECT url, pos, any_value(w) AS w, any_value(start) AS start,
+             any_value("end") AS "end",
+             CASE WHEN SUM(ln_b) >= SUM(ln_i) AND SUM(ln_b) >= SUM(ln_o)
+                    THEN 'B'
+                  WHEN SUM(ln_i) >= SUM(ln_o) THEN 'I'
+                  ELSE 'O' END AS iob
+      FROM plp GROUP BY url, pos
+    ),
+    tagged AS (
+      SELECT *, SUM(CASE WHEN iob = 'B' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY url ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS grp
+      FROM words
+    ),
+    kept AS (
+      SELECT * FROM (
+        SELECT *, MIN(CASE WHEN iob = 'O' THEN pos END)
+                    OVER (PARTITION BY url, grp) AS first_o
+        FROM tagged
+      ) WHERE grp > 0 AND iob IN ('B','I')
+          AND (first_o IS NULL OR pos < first_o)
+    )
+    SELECT url, 'SPAN' AS label, MIN(start) AS start, MAX("end") AS "end",
+           string_agg(w, ' ' ORDER BY pos) AS span
+    FROM kept GROUP BY url, grp
+    """
+
+
+def rerank_sql(gaz_pdf: pd.DataFrame, kind: str, where: str = "") -> str:
+    """Oracle for the reranking stages over knn candidates.
+
+    The candidate set is `_ranked_ctes` top-3 (identical to
+    knn_candidates' retrieval order); the pair score is the cosine of the
+    (raw span, decorated term) HashEmbedder vectors — seed 42 for the
+    bi-encoder (operators/rerank.biencoder_rerank), seed 777 for the
+    SurrogateCrossEncoder — emitted as literals; the rerank window
+    (pair-score desc, retrieval-rank asc) runs in SQL."""
+    from ..functions.embedder import HashEmbedder, l2_normalize
+    from ..functions.gazetteer import decorate_term
+
+    seed, alias = {"crossencoder": (777, "ce_r"), "biencoder": (42, "bi_r")}[
+        kind
+    ]
+    emb = HashEmbedder(seed=seed)
+    pq_rows, pt_rows = [], []
+    for label, term, tag in zip(
+        gaz_pdf["label"], gaz_pdf["term"], gaz_pdf["semantic_tag"]
+    ):
+        lu = str(label).upper()
+        qv = l2_normalize(emb.encode([term]))[0]
+        dec = decorate_term(term, tag)
+        tv = l2_normalize(emb.encode([dec]))[0]
+        pq_rows.append(f"('{lu}', '{term}', {_fmt_vec(qv)})")
+        pt_rows.append(f"('{lu}', '{dec}', {_fmt_vec(tv)})")
+    return f"""
+    WITH {_ranked_ctes(gaz_pdf, 3, where)},
+    pq(label, span, v) AS (VALUES
+      {",".join(pq_rows)}),
+    pt(label, term, v) AS (VALUES
+      {",".join(pt_rows)}),
+    cands AS (
+      SELECT url, start, "end", label, span, term,
+             CAST(rk - 1 AS INT) AS rank
+      FROM ranked WHERE rk <= 3
+    ),
+    scored2 AS (
+      SELECT c.*, list_dot_product(q.v, t.v) AS s2
+      FROM cands c
+      JOIN pq q ON q.label = c.label AND q.span = c.span
+      JOIN pt t ON t.label = c.label AND t.term = c.term
+    )
+    SELECT url, start, "end", label, term, rank,
+           CAST(ROW_NUMBER() OVER (PARTITION BY url, start, "end", label
+                ORDER BY s2 DESC, rank ASC) - 1 AS INT) AS rerank,
+           ROUND(s2, 5) AS {alias}
+    FROM scored2
     """

@@ -62,3 +62,38 @@ def test_lsh_pair_join_never_shuffles_text(spark):
     for block in re.split(r"\(\d+\) ", plan):
         if block.startswith("Exchange") and "text#" in block:
             raise AssertionError(f"text rides a shuffle:\n{block}")
+
+
+def test_no_shuffle_plan_when_layout_trusted(
+    spark, golden_pages, golden_gazetteer
+):
+    """num_partitions=0 => trust the input layout: ZERO exchanges before
+    the fused UDF (the storage-aligned 100 TB run skips the corpus
+    re-shuffle entirely)."""
+    from ner_linking_demo_spark.functions.embedder import HashEmbedder
+    from ner_linking_demo_spark.operators.linking import (
+        build_indexes,
+        detect_and_link,
+    )
+
+    pages = pages_to_spark(spark, golden_pages.head(5))
+    linked = detect_and_link(
+        pages,
+        golden_gazetteer,
+        build_indexes(golden_gazetteer, k=3),
+        k=3,
+        embedder=HashEmbedder(),
+        num_partitions=0,
+    )
+    p = _plan(linked)
+    assert _nodes(p, "Exchange") == 0, p
+    # and the result is identical to the shuffled plan
+    shuffled = detect_and_link(
+        pages, golden_gazetteer, build_indexes(golden_gazetteer, k=3), k=3,
+        embedder=HashEmbedder(), num_partitions=4,
+    )
+    a = linked.toPandas().sort_values(["url", "start", "label"]).reset_index(drop=True)
+    b = shuffled.toPandas().sort_values(["url", "start", "label"]).reset_index(drop=True)
+    assert a[["url", "start", "end", "label", "span"]].equals(
+        b[["url", "start", "end", "label", "span"]]
+    )

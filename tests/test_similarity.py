@@ -58,3 +58,38 @@ def test_bucket_pruning(spark, vectors):
     indexed = SIM.lsh_index(df, planes)
     n_buckets = indexed.select("bucket").distinct().count()
     assert n_buckets > 10  # buckets actually partition the space
+
+
+def test_ann_join_equals_per_query_lsh(spark, vectors):
+    """Batch ANN join == the single-query LSH probe run per query, and
+    recall vs brute force is monotone in probe_bits."""
+    import pyspark.sql.functions as F
+
+    df, mat = vectors
+    planes = SIM.hyperplanes(dim=16, n_planes=8)
+    indexed = SIM.lsh_index(df, planes).cache()
+    queries = df.filter("vec_id < 5").select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+    prev_recall = -1.0
+    for probe_bits in (0, 1, 2):
+        batch = SIM.ann_join(
+            queries, df, planes, k=10, probe_bits=probe_bits
+        ).toPandas()
+        recalls = []
+        for qi in range(5):
+            got = set(batch[batch["q_id"] == qi]["vec_id"])
+            single = set(
+                SIM.lsh_topk(
+                    indexed, mat[qi], planes, k=10, probe_bits=probe_bits
+                ).toPandas()["vec_id"]
+            )
+            assert got == single, (probe_bits, qi)
+            exact = set(
+                SIM.brute_force_topk(df, mat[qi], k=10).toPandas()["vec_id"]
+            )
+            recalls.append(len(got & exact) / 10)
+        r = sum(recalls) / len(recalls)
+        assert r >= prev_recall  # multi-probe only adds candidates
+        prev_recall = r
+    assert prev_recall >= 0.5  # probe_bits=2 on random data

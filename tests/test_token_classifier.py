@@ -1,0 +1,79 @@
+"""M2 token-classifier NER chain: fragment-boundary invariance, argmax
+semantics, and provider interchangeability in detect_mentions."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ner_linking_demo_spark.functions.fragments import fragment_document
+from ner_linking_demo_spark.functions.token_classifier import (
+    HashTokenClassifier,
+    piece_logits,
+    softmax3,
+    word_tags_from_probs,
+)
+from ner_linking_demo_spark.operators.iob import decode_iob_scan
+from ner_linking_demo_spark.operators.ner import (
+    TokenClassifierMentionProvider,
+    detect_mentions,
+)
+
+TEXT = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " * 5
+
+
+def _spans(seq_len: int) -> list[tuple[int, int]]:
+    clf = HashTokenClassifier()
+    frags = fragment_document(TEXT, seq_len=seq_len)
+    probs = clf.predict(frags)
+    tags, offsets = word_tags_from_probs(frags, probs)
+    return decode_iob_scan(tags, offsets)
+
+
+def test_fragment_boundary_invariance():
+    """Words split across fragments (tiny seq_len forces it) must produce
+    the same word log-prob sums, hence identical spans (A3 accumulation
+    is fragment-agnostic)."""
+    base = _spans(128)
+    assert base  # hash tags over 50 words produce at least one B run
+    for seq_len in (6, 9, 16):
+        assert _spans(seq_len) == base, seq_len
+
+
+def test_word_prob_is_product_of_subtokens():
+    clf = HashTokenClassifier()
+    frags = fragment_document("abcdefgh", seq_len=128)  # 2 pieces
+    probs = clf.predict(frags)
+    tags, offsets = word_tags_from_probs(frags, probs)
+    lp = np.log(softmax3(piece_logits("abcd"))) + np.log(
+        softmax3(piece_logits("##efgh"))
+    )
+    assert tags == [("B", "I", "O")[int(np.argmax(lp))]]
+    assert offsets == [(0, 8)]
+
+
+def test_provider_swaps_into_detect_mentions(spark):
+    pages = spark.createDataFrame(
+        [("u1", TEXT), ("u2", "alpha bravo charlie")], ["url", "text"]
+    )
+    out = detect_mentions(
+        pages, provider=TokenClassifierMentionProvider()
+    ).toPandas()
+    # distributed output == driver-side provider scan per doc
+    prov = TokenClassifierMentionProvider()
+    expect = {
+        (url, lab.upper(), s, e, sp)
+        for url, text in [("u1", TEXT), ("u2", "alpha bravo charlie")]
+        for lab, s, e, sp in prov.find_mentions(text)
+    }
+    got = {
+        tuple(r)
+        for r in out[["url", "label", "start", "end", "span"]].itertuples(
+            index=False, name=None
+        )
+    }
+    assert got == expect
+    # span slice invariant
+    assert all(
+        sp == (TEXT if u == "u1" else "alpha bravo charlie")[s:e]
+        for u, _, s, e, sp in got
+    )
