@@ -690,24 +690,111 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+# The raw embeddings table has NO near-dup pairs (max all-pairs cosine
+# 0.51 at sf0.01), which made the round-1 entry a weak 0-row match; plant
+# deterministic near-dups (every 10th vector, first component +0.05) so
+# the oracle compare is non-trivial.
+_DUPED_EMB_SQL = """
+      SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+      UNION ALL
+      SELECT vec_id + 100000 AS vec_id, label,
+             list_concat([embedding[1]::DOUBLE + 0.05],
+                         (embedding::DOUBLE[])[2:]) AS v
+      FROM embeddings WHERE vec_id % 10 = 0
+"""
+
+
+def _duped_embeddings(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    dim = len(e.select("v").head()[0])
+    near = e.filter("vec_id % 10 = 0").select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        "label",
+        F.concat(
+            F.array(F.element_at("v", 1) + F.lit(0.05)),
+            F.slice("v", 2, dim - 1),
+        ).alias("v"),
+    )
+    return e.unionByName(near)
+
+
 @q(
     "dedup_embedding_cosine",
-    """
+    f"""
+    WITH e AS ({_DUPED_EMB_SQL})
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-                 (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-                  sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) AS cosine
-    FROM embeddings a JOIN embeddings b
+           ROUND(list_dot_product(a.v, b.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) *
+                  sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+    FROM e a JOIN e b
       ON a.label = b.label AND a.vec_id < b.vec_id
-    WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) /
-          (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[])) *
-           sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.9
+    WHERE list_dot_product(a.v, b.v) /
+          (sqrt(list_dot_product(a.v, a.v)) *
+           sqrt(list_dot_product(b.v, b.v))) >= 0.9
     """,
 )
 def dedup_embedding_cosine(spark, sf_dir):
-    e = _t(spark, sf_dir, "embeddings")
-    pairs = DD.embedding_neardup_pairs(e, block_col="label", threshold=0.9)
+    pairs = DD.embedding_neardup_pairs(
+        _duped_embeddings(spark, sf_dir),
+        emb_col="v",
+        block_col="label",
+        threshold=0.9,
+    )
     return pairs.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+def _emb_lsh_pairs_sql(n_planes: int = 8, dim: int = 64,
+                       probe_bits: int = 1, threshold: float = 0.9) -> str:
+    """Exact-semantics oracle for the LSH-blocked embedding dedup: the
+    candidate set IS pairs with bucket Hamming distance <= probe_bits."""
+    planes = SIM.hyperplanes(dim=dim, n_planes=n_planes)
+    pl_rows = ",\n      ".join(
+        f"({b}, [{', '.join(repr(float(x)) for x in planes[b])}]::DOUBLE[])"
+        for b in range(n_planes)
+    )
+    return f"""
+    WITH pl(b, v) AS (VALUES
+      {pl_rows}),
+    base AS ({_DUPED_EMB_SQL}),
+    bk AS (
+      SELECT base.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(base.v, pl.v) > 0
+                      THEN 1::BIGINT << pl.b ELSE 0 END) AS BIGINT) AS bucket
+      FROM base, pl GROUP BY base.vec_id
+    ),
+    side AS (
+      SELECT b.vec_id, b.v, k.bucket,
+             sqrt(list_dot_product(b.v, b.v)) AS nrm
+      FROM base b JOIN bk k USING (vec_id)
+    )
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+    FROM side a JOIN side b
+      ON a.vec_id < b.vec_id
+     AND bit_count(xor(a.bucket, b.bucket)) <= {probe_bits}
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {threshold}
+    """
+
+
+@q("dedup_embedding_lsh", _emb_lsh_pairs_sql())
+def dedup_embedding_lsh(spark, sf_dir):
+    """Embedding near-dup pairs with NO blocking column: LSH bucket
+    self-join + multi-probe instead of all-pairs (the scale path when no
+    natural block exists); planted near-dups make the compare non-trivial."""
+    planes = SIM.hyperplanes(dim=64, n_planes=8)
+    pairs = DD.embedding_neardup_pairs_lsh(
+        _duped_embeddings(spark, sf_dir),
+        planes,
+        emb_col="v",
+        id_col="vec_id",
+        threshold=0.9,
+        probe_bits=1,
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
 
 
 # ---------------------------------------------------------------------------
