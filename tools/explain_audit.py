@@ -119,6 +119,54 @@ def main() -> int:
         or "partial_min" in p,
     )
 
+    # 6. no-shuffle plan: num_partitions=0 trusts the storage layout
+    from ner_linking_demo_spark.functions.embedder import HashEmbedder
+    from ner_linking_demo_spark.operators.linking import (
+        build_indexes,
+        detect_and_link,
+    )
+
+    p = plan_of(
+        detect_and_link(
+            pages, gaz, build_indexes(gaz, k=3), k=3,
+            embedder=HashEmbedder(), num_partitions=0,
+        )
+    )
+    failures += not check(
+        "kg no-shuffle plan (num_partitions=0)", nodes(p, "Exchange") == 0
+    )
+
+    # 7. MinHash-LSH pairs: no exchange carries the document text
+    from ner_linking_demo_spark.operators.dedup import minhash_lsh_pairs
+
+    p = plan_of(
+        minhash_lsh_pairs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    )
+    text_in_exchange = any(
+        block.startswith("Exchange") and "text#" in block
+        for block in re.split(r"\(\d+\) ", p)
+    )
+    failures += not check("lsh pairs: text never shuffles", not text_in_exchange)
+
+    # 8. batch ANN join: native arithmetic (no python), bucket equi-join
+    from ner_linking_demo_spark.operators import similarity as SIM
+
+    e = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    planes = SIM.hyperplanes(dim=64, n_planes=8)
+    p = plan_of(
+        SIM.ann_join(
+            e.limit(5).selectExpr("vec_id as q_id", "embedding"), e, planes
+        )
+    )
+    failures += not check(
+        "ann_join stays JVM-side",
+        nodes(p, "MapInPandas") + nodes(p, "PythonMapInArrow")
+        + nodes(p, "BatchEvalPython") == 0,
+    )
+    failures += not check(
+        "ann_join bucket equi-join", "SortMergeJoin" in p or "HashJoin" in p
+    )
+
     print(f"\n{failures} failures")
     spark.stop()
     return 1 if failures else 0
