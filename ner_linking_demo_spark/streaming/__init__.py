@@ -9,3 +9,7 @@ an arriving-pages stream can reuse every batch operator unchanged.
 """
 
 from .incremental import incremental_pipeline  # noqa: F401
+from .windowed import (  # noqa: F401
+    first_seen_codes_stream,
+    mention_rate_stream,
+)

@@ -48,3 +48,89 @@ def test_incremental_matches_batch(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(os.path.join(out, "triples")).count() == len(g)
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_windowed_mention_rate_matches_batch(spark, tmp_path):
+    """Watermarked windowed counts (streaming) == groupBy-window counts
+    (batch) once the stream is fully drained."""
+    from pyspark.sql import functions as F
+
+    from ner_linking_demo_spark.operators.ner import detect_mentions
+    from ner_linking_demo_spark.streaming import mention_rate_stream
+
+    gaz = gen_gazetteer(n_codes=20)
+    pages = gen_pages(n_pages=30, gazetteer=gaz, giant_every=0)
+    src = str(tmp_path / "wsrc")
+    pages_to_spark(spark, pages).write.parquet(src)
+
+    stream = spark.readStream.schema(pages_spark_schema()).parquet(src)
+    agg = mention_rate_stream(stream, gaz)
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("mention_rate")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "wckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql(
+        "SELECT window.start AS ws, label, n_mentions FROM mention_rate"
+    ).toPandas()
+
+    batch_pages = pages_to_spark(spark, pages)
+    batch = (
+        detect_mentions(batch_pages, gaz)
+        .join(batch_pages.select("url", "warc_ts"), "url")
+        .groupBy(F.window("warc_ts", "1 minute").alias("window"), "label")
+        .agg(F.count(F.lit(1)).alias("n_mentions"))
+        .select(F.col("window.start").alias("ws"), "label", "n_mentions")
+        .toPandas()
+    )
+    key = lambda df: {  # noqa: E731
+        (r.ws, r.label): r.n_mentions for r in df.itertuples()
+    }
+    assert key(got) == key(batch) and len(got) > 0
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_first_seen_codes_stateful(spark, tmp_path):
+    """applyInPandasWithState: each code is emitted exactly once across
+    micro-batches (state persists via the checkpoint)."""
+    from ner_linking_demo_spark.streaming import first_seen_codes_stream
+
+    src = str(tmp_path / "codes")
+    ckpt = str(tmp_path / "cckpt")
+    out = str(tmp_path / "cout")
+    spark.createDataFrame(
+        [("u1", "c1"), ("u2", "c1"), ("u1", "c2")], ["url", "code"]
+    ).write.parquet(src)
+
+    def drain():
+        # parquet sink (memory sink can't recover from a checkpoint)
+        stream = spark.readStream.schema("url string, code string").parquet(src)
+        q = (
+            first_seen_codes_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return spark.read.parquet(out).toPandas()
+
+    first = drain()
+    assert set(first["code"]) == {"c1", "c2"}
+    assert dict(zip(first["code"], first["first_url"]))["c1"] == "u1"
+    assert dict(zip(first["code"], first["n_in_batch"]))["c1"] == 2
+
+    # second run: one NEW file with an old code and a new one
+    spark.createDataFrame(
+        [("u9", "c1"), ("u3", "c3")], ["url", "code"]
+    ).write.mode("append").parquet(src)
+    cum = drain()
+    assert len(cum) == 3  # c1 emitted exactly once across batches
+    assert set(cum["code"]) == {"c1", "c2", "c3"}
