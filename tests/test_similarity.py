@@ -93,3 +93,15 @@ def test_ann_join_equals_per_query_lsh(spark, vectors):
         assert r >= prev_recall  # multi-probe only adds candidates
         prev_recall = r
     assert prev_recall >= 0.5  # probe_bits=2 on random data
+
+
+def test_bucket_udf_parity_with_expression(spark, vectors):
+    """Arrow-batched matmul buckets == expression-form buckets on real
+    float data (sign semantics identical away from exact-zero dots)."""
+    df, _ = vectors
+    planes = SIM.hyperplanes(dim=16, n_planes=8)
+    a = SIM.lsh_index(df, planes, method="expr").select("vec_id", "bucket")
+    b = SIM.lsh_index(df, planes, method="pandas").select("vec_id", "bucket")
+    pa = dict(zip(*map(list, zip(*a.collect()))))
+    pb = dict(zip(*map(list, zip(*b.collect()))))
+    assert pa == pb
