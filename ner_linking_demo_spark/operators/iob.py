@@ -47,6 +47,97 @@ def decode_iob_scan(
     return spans
 
 
+def decode_iob_scan_discontinuous(
+    labels: list[str], offsets: list[tuple[int, int]]
+) -> list[list[tuple[int, int]]]:
+    """Reference-shaped DISCONTINUOUS scanner
+    (`post_process.py:493-559`, ``AnnExtractorDiscontinuous``): an
+    annotation = the B-run plus every later I-run before the next B;
+    each run is a (start, end) fragment. Returns one fragment list per
+    annotation."""
+    out: list[list[tuple[int, int]]] = []
+    left, n = 0, len(labels)
+    while left < n:
+        if labels[left] != "B":
+            left += 1
+            continue
+        right = left + 1
+        while right < n and labels[right] == "I":
+            right += 1
+        frags = [(offsets[left][0], offsets[right - 1][1])]
+        inter = right
+        while inter < n and labels[inter] != "B":
+            if labels[inter] == "I":
+                right = inter + 1
+                while right < n and labels[right] == "I":
+                    right += 1
+                frags.append((offsets[inter][0], offsets[right - 1][1]))
+                inter = right
+            else:
+                inter += 1
+        left = inter
+        out.append(frags)
+    return out
+
+
+def decode_iob_spans_discontinuous(
+    words: DataFrame,
+    url_col: str = "url",
+    pos_col: str = "pos",
+    label_col: str = "iob",
+) -> DataFrame:
+    """Windowed DataFrame form of the discontinuous decode — a
+    gaps-and-islands composition:
+
+    grp    = running count of B's (annotation session, as in
+             :func:`decode_iob_spans`);
+    island = pos - row_number within (url, grp) over the kept B/I rows —
+             constant exactly on maximal consecutive runs (O rows break
+             the consecutiveness, so each I-run is its own island);
+    output = per (url, grp): fragments ordered by position, rendered as
+             the reference's ``"s1 e1;s2 e2"`` location string.
+
+    Scanner parity is tested on random tag sequences
+    (tests/test_iob.py)."""
+    w_doc = Window.partitionBy(url_col).orderBy(pos_col)
+    grp = F.sum(
+        F.when(F.col(label_col) == "B", 1).otherwise(0)
+    ).over(w_doc.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    kept = (
+        words.withColumn("_grp", grp)
+        .where(F.col("_grp") > 0)
+        .where(F.col(label_col).isin("B", "I"))
+    )
+    w_grp = Window.partitionBy(url_col, "_grp").orderBy(pos_col)
+    kept = kept.withColumn(
+        "_island", F.col(pos_col) - F.row_number().over(w_grp)
+    )
+    frags = kept.groupBy(
+        F.col(url_col).alias("url"), "_grp", "_island"
+    ).agg(
+        F.min("start").alias("fs"),
+        F.max("end").alias("fe"),
+        F.min(pos_col).alias("fpos"),
+    )
+    return (
+        frags.groupBy("url", "_grp")
+        .agg(
+            F.concat_ws(
+                ";",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("fpos", "fs", "fe"))),
+                    lambda s: F.concat_ws(
+                        " ", s["fs"].cast("string"), s["fe"].cast("string")
+                    ),
+                ),
+            ).alias("location"),
+            F.min("fs").alias("start"),
+            F.max("fe").alias("end"),
+        )
+        .select("url", "location", "start", "end")
+    )
+
+
 def decode_iob_spans(
     words: DataFrame,
     url_col: str = "url",

@@ -1568,6 +1568,53 @@ def m3_iob_decode(spark, sf_dir):
     return decode_iob_spans(words)
 
 
+@q(
+    "m3_iob_decode_discontinuous",
+    f"""
+    WITH words AS ({_IOB_WORDS_SQL}),
+    tagged AS (
+      SELECT *, SUM(CASE WHEN iob = 'B' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY url ORDER BY pos
+                        ROWS UNBOUNDED PRECEDING) AS grp
+      FROM words
+    ),
+    kept AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url, grp ORDER BY pos) AS rn
+      FROM tagged WHERE grp > 0 AND iob IN ('B','I')
+    ),
+    frags AS (
+      SELECT url, grp, pos - rn AS island,
+             MIN(start) AS fs, MAX("end") AS fe, MIN(pos) AS fpos
+      FROM kept GROUP BY url, grp, pos - rn
+    )
+    SELECT url,
+           string_agg(CAST(fs AS VARCHAR) || ' ' || CAST(fe AS VARCHAR),
+                      ';' ORDER BY fpos) AS location,
+           MIN(fs) AS start, MAX(fe) AS "end"
+    FROM frags GROUP BY url, grp
+    """,
+)
+def m3_iob_decode_discontinuous(spark, sf_dir):
+    """Discontinuous-span IOB decode (reference
+    `post_process.py:493-559`, AnnExtractorDiscontinuous): an annotation
+    spans its B-run plus every later I-run before the next B; fragments
+    render as the reference's 's e;s e' location string (F4 shape)."""
+    from ..operators.iob import decode_iob_spans_discontinuous
+
+    li = _t(spark, sf_dir, "lineitem")
+    q_ = F.min("l_quantity").cast("long")
+    words = li.groupBy("l_orderkey", "l_linenumber").agg(
+        F.when(q_ % 3 == 0, "B").when(q_ % 3 == 1, "I").otherwise("O").alias("iob")
+    ).select(
+        F.concat(F.lit("u"), F.col("l_orderkey").cast("string")).alias("url"),
+        F.col("l_linenumber").alias("pos"),
+        "iob",
+        (F.col("l_linenumber") * 10).alias("start"),
+        (F.col("l_linenumber") * 10 + 5).alias("end"),
+    )
+    return decode_iob_spans_discontinuous(words)
+
+
 # ---------------------------------------------------------------------------
 # Multimodal plumbing
 # ---------------------------------------------------------------------------

@@ -71,3 +71,34 @@ def test_orphan_inside_skipped():
     labels = ["I", "O", "B", "I", "O", "I", "B"]
     offsets = [(i * 2, i * 2 + 1) for i in range(7)]
     assert decode_iob_scan(labels, offsets) == [(4, 7), (12, 13)]
+
+
+def test_discontinuous_windowed_equals_scanner(spark):
+    """Random tag sequences: the gaps-and-islands DataFrame decode equals
+    the reference-shaped discontinuous scanner."""
+    import random
+
+    from ner_linking_demo_spark.operators.iob import (
+        decode_iob_scan_discontinuous,
+        decode_iob_spans_discontinuous,
+    )
+
+    rng = random.Random(5)
+    rows, expect = [], set()
+    for d in range(40):
+        n = rng.randint(1, 25)
+        labels = [rng.choice("BIO") for _ in range(n)]
+        offsets = [(i * 10, i * 10 + 5) for i in range(n)]
+        for i, lab in enumerate(labels):
+            rows.append((f"d{d}", i, lab, offsets[i][0], offsets[i][1]))
+        for frags in decode_iob_scan_discontinuous(labels, offsets):
+            loc = ";".join(f"{s} {e}" for s, e in frags)
+            expect.add((f"d{d}", loc, frags[0][0], frags[-1][1]))
+    words = spark.createDataFrame(
+        rows, "url string, pos int, iob string, start int, end int"
+    )
+    got = {
+        (r.url, r.location, r.start, r.end)
+        for r in decode_iob_spans_discontinuous(words).collect()
+    }
+    assert got == expect
