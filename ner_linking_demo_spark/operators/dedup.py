@@ -475,17 +475,20 @@ def embedding_neardup_pairs_lsh(
     dense regions."""
     from .similarity import _dot, _norm, lsh_bucket_expr, probe_masks
 
-    side = (
-        df.select(
-            F.col(id_col).alias("id"),
-            F.col(emb_col).cast("array<double>").alias("v"),
-        )
-        .withColumn("bucket", lsh_bucket_expr(F.col("v"), planes))
-        .withColumn("nrm", _norm(F.col("v")))
+    vecs = df.select(
+        F.col(id_col).alias("id"),
+        F.col(emb_col).cast("array<double>").alias("v"),
+    )
+    # (id, bucket) ONLY through the probe explode and the bucket self-join
+    # — same discipline as minhash_lsh_pairs: the vector payload never
+    # rides the exploded stream (x(1+masks) duplication); it re-joins by
+    # id after the pair set is deduplicated.
+    keyed = vecs.withColumn("bucket", lsh_bucket_expr(F.col("v"), planes)).select(
+        "id", "bucket"
     )
     masks = probe_masks(len(planes), probe_bits)
-    probed = side.withColumn(
-        "pbucket",
+    a = keyed.select(
+        F.col("id").alias("id_a"),
         F.explode(
             F.array(
                 *[
@@ -493,33 +496,43 @@ def embedding_neardup_pairs_lsh(
                     for m in masks
                 ]
             )
-        ),
+        ).alias("bucket"),
     )
-    a = probed.select(
-        F.col("pbucket").alias("bucket"),
-        F.col("id").alias("id_a"),
-        F.col("v").alias("v_a"),
-        F.col("nrm").alias("n_a"),
-    )
-    b = side.select(
-        "bucket",
-        F.col("id").alias("id_b"),
-        F.col("v").alias("v_b"),
-        F.col("nrm").alias("n_b"),
-    )
+    b = keyed.select(F.col("id").alias("id_b"), "bucket")
     pairs = (
         a.join(b, "bucket")
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        # each ordered pair surfaces via exactly one mask, but both
+        # endpoints probe: keep one
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    with_norm = vecs.withColumn("nrm", _norm(F.col("v")))
+    verified = (
+        pairs.join(
+            with_norm.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("v_a"),
+                F.col("nrm").alias("n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            with_norm.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("v_b"),
+                F.col("nrm").alias("n_b"),
+            ),
+            "id_b",
+        )
         .withColumn(
             "cosine",
             _dot(F.col("v_a"), F.col("v_b")) / (F.col("n_a") * F.col("n_b")),
         )
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
-        # a pair can surface via either endpoint's probe explosion
-        .dropDuplicates(["id_a", "id_b"])
     )
-    return pairs
+    return verified
 
 
 def embedding_neardup_pairs(

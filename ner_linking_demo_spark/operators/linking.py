@@ -280,19 +280,12 @@ def detect_and_link(
                 else pd.DataFrame({f.name: [] for f in LINKED_SCHEMA.fields})
             )
 
+    from .ner import balance_pages
+
     projected = pages.select(url_col, text_col)
-    # hash repartition: single-pass (repartitionByRange would add a
-    # sampling scan of the pages), uniform for high-cardinality urls;
-    # giant-page balancing comes from the small partition payload target.
-    # num_partitions=0 skips the shuffle: trust the input layout (storage
-    # already url-partitioned) — zero exchanges before the UDF.
-    if num_partitions == 0:
-        balanced = projected
-    else:
-        n = num_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-        balanced = projected.repartition(n, F.col(url_col))
+    # shared policy with detect_mentions (giant-page balancing comes from
+    # the small partition payload target; =0 trusts the storage layout)
+    balanced = balance_pages(projected, url_col, num_partitions)
     return balanced.mapInPandas(run, schema=LINKED_SCHEMA)
 
 

@@ -47,6 +47,25 @@ MENTIONS_SCHEMA = T.StructType(
 )
 
 
+def balance_pages(
+    projected: DataFrame, url_col: str, num_partitions: int | None
+) -> DataFrame:
+    """Shared pre-UDF balancing policy for the page-scale operators.
+
+    Hash-partition on url: deterministic given (url, n), uniform for
+    high-cardinality url keys, and single-pass (range partitioning would
+    add a sampling scan). ``num_partitions=0`` SKIPS the shuffle entirely
+    — use when the input table's storage layout is already
+    url-hash-partitioned (e.g. a bucketed/partitioned Iceberg scan): at
+    100 TB this avoids re-shuffling the whole corpus."""
+    if num_partitions == 0:
+        return projected
+    n = num_partitions or int(
+        projected.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    return projected.repartition(n, F.col(url_col))
+
+
 class TokenClassifierMentionProvider:
     """M2 NER provider: the full token-classification lifecycle
     (M1 fragment -> classifier forward -> A3 word prob product -> F9
@@ -125,18 +144,7 @@ def detect_mentions(
     projected = pages.select(
         F.col(url_col).alias(url_col), F.col(text_col).alias(text_col)
     )
-    # Hash-partition on url: deterministic given (url, n), uniform for
-    # high-cardinality url keys, and single-pass (range partitioning would
-    # add a sampling scan). The checkpointed path's lineage counters are
-    # keyed by this stable partitioning. num_partitions=0 SKIPS the
-    # shuffle entirely — use when the input table's storage layout is
-    # already url-hash-partitioned (e.g. a bucketed/partitioned Iceberg
-    # scan): at 100 TB this avoids re-shuffling the whole corpus.
-    if num_partitions == 0:
-        balanced = projected
-    else:
-        n = num_partitions or int(
-            spark.conf.get("spark.sql.shuffle.partitions", "32")
-        )
-        balanced = projected.repartition(n, F.col(url_col))
+    # the checkpointed path's lineage counters are keyed by this stable
+    # partitioning (balance_pages docstring for the policy)
+    balanced = balance_pages(projected, url_col, num_partitions)
     return balanced.mapInPandas(run, schema=MENTIONS_SCHEMA)

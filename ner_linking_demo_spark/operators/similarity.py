@@ -238,14 +238,9 @@ def lsh_topk(
     for b, plane in enumerate(planes):
         if float(q @ plane) > 0:
             qbits |= 1 << b
-    buckets = {qbits}
-    if probe_bits >= 1:
-        for b in range(len(planes)):
-            buckets.add(qbits ^ (1 << b))
-    if probe_bits >= 2:
-        for b1 in range(len(planes)):
-            for b2 in range(b1 + 1, len(planes)):
-                buckets.add(qbits ^ (1 << b1) ^ (1 << b2))
+    # shared Hamming-ball enumeration: same masks (and same out-of-range
+    # ValueError) as the batch ann_join path
+    buckets = {qbits ^ m for m in probe_masks(len(planes), probe_bits)}
     cand = indexed.filter(F.col("bucket").isin([int(x) for x in buckets]))
     qcol = F.array(*[F.lit(float(x)) for x in q])
     scored = cand.select(

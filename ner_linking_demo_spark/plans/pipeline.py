@@ -62,6 +62,13 @@ def run_pipeline(
     # Content hash, not row count: editing a term/code/tag without changing
     # the row count must invalidate every dependent snapshot.
     gaz_sig = f"gaz{gaz_content_hash(gazetteer_pdf)[:16]}"
+    # Embedder identity: resuming with a different embedding space must
+    # recompute linked/triples/edges (same stale-resume class as the
+    # gazetteer/reranker signatures).
+    emb_sig = (
+        f"emb{type(embedder).__name__}"
+        f"d{getattr(embedder, 'dim', '?')}s{getattr(embedder, 'seed', '?')}"
+    )
     input_sig = input_sig or _sig("pages", pages.schema.simpleString())
     cat = (
         CheckpointCatalog(spark, checkpoint_dir) if checkpoint_dir else None
@@ -86,7 +93,7 @@ def run_pipeline(
         )
         linked = cat.stage(
             "linked",
-            _sig(input_sig, gaz_sig, k, reranker),
+            _sig(input_sig, gaz_sig, k, reranker, emb_sig),
             lambda: link_mentions(
                 mentions, indexes, k=k, embedder=embedder, reranker=reranker
             ),
@@ -124,10 +131,10 @@ def run_pipeline(
         # reranker is part of the signature: triples/edges derive from the
         # 'linked' stage, so their snapshots must invalidate with it.
         triples = cat.stage(
-            "triples", _sig(input_sig, gaz_sig, k, reranker), lambda: triples
+            "triples", _sig(input_sig, gaz_sig, k, reranker, emb_sig), lambda: triples
         )
         edges = cat.stage(
-            "edges", _sig(input_sig, gaz_sig, k, reranker), lambda: edges
+            "edges", _sig(input_sig, gaz_sig, k, reranker, emb_sig), lambda: edges
         )
 
     return PipelineResult(

@@ -110,9 +110,9 @@ def first_seen_codes_stream(linked_codes: DataFrame) -> DataFrame:
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
+        if state.exists:  # before materializing rows: hot codes hit this
+            return iter([])  # every batch — keep them O(1), not O(rows)
         rows = pd.concat(list(pdfs))
-        if state.exists:
-            return iter([])
         state.update((True,))
         return iter(
             [
