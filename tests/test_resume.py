@@ -66,3 +66,46 @@ def test_pipeline_resume_end_to_end(spark, golden_pages, golden_gazetteer, tmp_p
         t1.sort_values(key).reset_index(drop=True),
         t2.sort_values(key).reset_index(drop=True),
     )
+
+
+def test_config_change_invalidates_dependent_stages(spark, tmp_path, golden_pages, golden_gazetteer):
+    """Resuming the same checkpoint dir with a different embedder (or an
+    edited gazetteer term at constant row count) must RECOMPUTE
+    linked/triples rather than serve stale snapshots."""
+    from ner_linking_demo_spark.functions.embedder import HashEmbedder
+
+    pages = pages_to_spark(spark, golden_pages.head(4))
+    ckpt = str(tmp_path / "inv")
+    r1 = run_pipeline(
+        spark, pages, golden_gazetteer, k=3, checkpoint_dir=ckpt,
+        embedder=HashEmbedder(seed=42),
+    )
+    s1 = {tuple(r) for r in r1.triples.select("subj", "code", "rank").collect()}
+
+    # different embedding space, same dir: scores/codes must change with it
+    r2 = run_pipeline(
+        spark, pages, golden_gazetteer, k=3, checkpoint_dir=ckpt,
+        embedder=HashEmbedder(seed=7),
+    )
+    s2 = {tuple(r) for r in r2.triples.select("subj", "code", "rank").collect()}
+    assert s1 != s2  # a stale resume would return s1 verbatim
+
+    # gazetteer content edit at CONSTANT row count: also invalidates
+    gaz = golden_gazetteer.copy()
+    gaz.loc[gaz.index[0], "term"] = gaz.loc[gaz.index[0], "term"] + " edited"
+    r3 = run_pipeline(
+        spark, pages, gaz, k=3, checkpoint_dir=ckpt,
+        embedder=HashEmbedder(seed=7),
+    )
+    # the mentions stage depends on the gazetteer: recompute happened if
+    # its signature changed — assert via the lineage log (no stale serve)
+    import json, os
+
+    lineage = [
+        json.loads(line)
+        for line in open(os.path.join(ckpt, "_lineage")).read().splitlines()
+    ]
+    mention_stages = [s for s in lineage if s["table"] == "mentions"]
+    sigs = {s["input_sig"] for s in mention_stages}
+    assert len(sigs) == 2  # original + edited-gazetteer signature
+    assert r3.triples.count() > 0
