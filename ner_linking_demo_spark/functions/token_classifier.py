@@ -37,12 +37,13 @@ from .fragments import Fragment
 LABELS = ("B", "I", "O")
 
 
-def piece_logits(piece: str) -> list[float]:
+def piece_logits(piece: str, salt: str = "") -> list[float]:
     """Deterministic pseudo-logits in [0,1] per class: the first 8 hex
-    digits of md5('{piece}|{label}') scaled by 2^32-1. Reproducible in any
-    engine with md5 (the DuckDB oracle computes the same expression)."""
+    digits of md5('{salt}{piece}|{label}') scaled by 2^32-1. Reproducible
+    in any engine with md5 (the DuckDB oracle computes the same
+    expression); ``salt`` makes distinct surrogate models for ensembles."""
     return [
-        int(hashlib.md5(f"{piece}|{lab}".encode()).hexdigest()[:8], 16)
+        int(hashlib.md5(f"{salt}{piece}|{lab}".encode()).hexdigest()[:8], 16)
         / 0xFFFFFFFF
         for lab in LABELS
     ]
@@ -63,19 +64,21 @@ class HashTokenClassifier:
 
     labels = LABELS
 
-    def __init__(self) -> None:
+    def __init__(self, salt: str = "") -> None:
+        self.salt = salt
         self._cache: dict[str, list[float]] = {}
 
     def __getstate__(self):
-        return {}
+        return {"salt": self.salt}
 
     def __setstate__(self, state):
+        self.salt = state.get("salt", "")
         self._cache = {}
 
     def piece_probs(self, piece: str) -> list[float]:
         p = self._cache.get(piece)
         if p is None:
-            p = softmax3(piece_logits(piece))
+            p = softmax3(piece_logits(piece, self.salt))
             if len(self._cache) < 1_000_000:
                 self._cache[piece] = p
         return p
@@ -117,3 +120,32 @@ def word_tags_from_probs(
     wids = sorted(acc)
     tags = [LABELS[int(np.argmax(acc[w]))] for w in wids]
     return tags, [offs[w] for w in wids]
+
+
+class EnsembleTokenClassifier:
+    """A5: element-wise merge of N models' word-prob tensors (reference
+    `post_process.py:796-856`, strategy switch at :837-845 — max / prod /
+    sum over the models axis). The combined tensor is NOT renormalized
+    (matching the reference): only argmax consumes it downstream, and
+    argmax is scale-invariant per strategy.
+
+    Any objects exposing ``predict(fragments) -> [n, seq, n_labels]``
+    compose — real transformer heads and hash surrogates alike."""
+
+    labels = LABELS
+
+    def __init__(self, classifiers, strategy: str = "prod"):
+        if strategy not in ("max", "prod", "sum"):
+            raise ValueError(f"unknown ensemble strategy: {strategy!r}")
+        if not classifiers:
+            raise ValueError("need at least one classifier")
+        self.classifiers = list(classifiers)
+        self.strategy = strategy
+
+    def predict(self, fragments: list[Fragment]) -> np.ndarray:
+        stack = np.stack([c.predict(fragments) for c in self.classifiers])
+        if self.strategy == "max":
+            return stack.max(axis=0)
+        if self.strategy == "sum":
+            return stack.sum(axis=0)
+        return stack.prod(axis=0)

@@ -1128,6 +1128,32 @@ def kg_detect_mentions_iob(spark, sf_dir):
     )
 
 
+@q(
+    "kg_detect_mentions_ensemble",
+    _KG.iob_detect_sql(
+        where="WHERE doc_id < 150", salts=("", "m2"), strategy="prod"
+    ),
+)
+def kg_detect_mentions_ensemble(spark, sf_dir):
+    """A5 ensemble model merge inside the M2 chain: two salted surrogate
+    classifiers, word-prob tensors combined element-wise (prod) BEFORE
+    the A3/argmax/IOB decode (reference post_process.py:796-856)."""
+    from ..functions.token_classifier import (
+        EnsembleTokenClassifier,
+        HashTokenClassifier,
+    )
+    from ..operators.ner import TokenClassifierMentionProvider, detect_mentions
+
+    clf = EnsembleTokenClassifier(
+        [HashTokenClassifier(), HashTokenClassifier(salt="m2")],
+        strategy="prod",
+    )
+    return detect_mentions(
+        _docs_as_pages(spark, sf_dir, limit=150),
+        provider=TokenClassifierMentionProvider(classifier=clf),
+    )
+
+
 @q("kg_link_mentions", _KG.link_mentions_sql(_HGAZ, k=3))
 def kg_link_mentions(spark, sf_dir):
     from ..operators.linking import build_indexes, link_mentions

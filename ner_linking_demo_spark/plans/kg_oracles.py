@@ -365,23 +365,55 @@ def term_avg_sql(gaz_pdf: pd.DataFrame, k: int = 3, where: str = "") -> str:
     """
 
 
-def iob_detect_sql(where: str = "", sub_width: int = 4) -> str:
+def iob_detect_sql(
+    where: str = "",
+    sub_width: int = 4,
+    salts: tuple = ("",),
+    strategy: str = "prod",
+) -> str:
     """Oracle for the M2 token-classifier NER chain
     (operators/ner.TokenClassifierMentionProvider): reproduces the
     surrogate subtokenizer (fixed-width pieces, '##' continuations —
     functions/fragments.surrogate_subtokenize), the hash softmax logits
-    (functions/token_classifier.piece_logits: md5('{piece}|{label}') first
-    8 hex digits / 2^32-1), the A3 per-word log-prob sum, the F9 argmax
-    (lowest-index tie-break over (B, I, O)), and the M3 windowed IOB
-    decode — entirely in SQL. Fragment packing does not affect the result
-    (word log-probs are accumulated across fragments), so the oracle skips
-    it; packing invariants are pytest-gated separately."""
+    (functions/token_classifier.piece_logits: md5('{salt}{piece}|{label}')
+    first 8 hex digits / 2^32-1), the A3 per-word log-prob sum, the F9
+    argmax (lowest-index tie-break over (B, I, O)), and the M3 windowed
+    IOB decode — entirely in SQL. Fragment packing does not affect the
+    result (word log-probs are accumulated across fragments), so the
+    oracle skips it; packing invariants are pytest-gated separately.
+
+    ``salts``/``strategy`` extend the oracle to the A5 ensemble merge
+    (EnsembleTokenClassifier): per-subtoken class probability = the
+    strategy-combined probability across the salted models, combined
+    BEFORE the ln (matching the engine's combine-then-log arithmetic)."""
     w = sub_width
-    lg = (
-        "(('0x' || substr(md5(piece || '|{lab}'), 1, 8))::BIGINT"
-        " / 4294967295.0)"
-    )
-    lb, li, lo = (lg.format(lab=lab) for lab in ("B", "I", "O"))
+
+    def class_prob(lab: str, salt: str) -> str:
+        lg = (
+            f"(('0x' || substr(md5('{{salt}}' || piece || '|{{lab}}'), 1, 8))"
+            f"::BIGINT / 4294967295.0)"
+        )
+        num = lg.format(salt=salt, lab=lab)
+        den = " + ".join(
+            f"exp({lg.format(salt=salt, lab=c)})" for c in ("B", "I", "O")
+        )
+        return f"(exp({num}) / ({den}))"
+
+    def ln_combined(lab: str) -> str:
+        ps = [class_prob(lab, salt) for salt in salts]
+        if len(ps) == 1:
+            combined = ps[0]
+        elif strategy == "prod":
+            combined = " * ".join(ps)
+        elif strategy == "sum":
+            combined = "(" + " + ".join(ps) + ")"
+        elif strategy == "max":
+            combined = f"greatest({', '.join(ps)})"
+        else:
+            raise ValueError(f"unknown strategy {strategy!r}")
+        return f"ln({combined})"
+
+    lnb, lni, lno = (ln_combined(lab) for lab in ("B", "I", "O"))
     return f"""
     WITH {_otok_ctes(where)},
     pieces AS (
@@ -398,9 +430,9 @@ def iob_detect_sql(where: str = "", sub_width: int = 4) -> str:
     ),
     plp AS (
       SELECT url, pos, w, start, "end",
-             ln(exp({lb}) / (exp({lb}) + exp({li}) + exp({lo}))) AS ln_b,
-             ln(exp({li}) / (exp({lb}) + exp({li}) + exp({lo}))) AS ln_i,
-             ln(exp({lo}) / (exp({lb}) + exp({li}) + exp({lo}))) AS ln_o
+             {lnb} AS ln_b,
+             {lni} AS ln_i,
+             {lno} AS ln_o
       FROM p2
     ),
     words AS (

@@ -77,3 +77,33 @@ def test_provider_swaps_into_detect_mentions(spark):
         sp == (TEXT if u == "u1" else "alpha bravo charlie")[s:e]
         for u, _, s, e, sp in got
     )
+
+
+def test_ensemble_strategies():
+    """A5 merge semantics: prod/sum/max across the models axis, combined
+    before the word-level log-prob accumulation; distinct salts give a
+    genuinely different model."""
+    import pytest as _pytest
+
+    from ner_linking_demo_spark.functions.token_classifier import (
+        EnsembleTokenClassifier,
+    )
+
+    m1, m2 = HashTokenClassifier(), HashTokenClassifier(salt="m2")
+    frags = fragment_document(TEXT, seq_len=64)
+    p1, p2 = m1.predict(frags), m2.predict(frags)
+    assert not np.allclose(p1, p2)  # salted models differ
+    for strategy, ref in (
+        ("prod", p1 * p2),
+        ("sum", p1 + p2),
+        ("max", np.maximum(p1, p2)),
+    ):
+        ens = EnsembleTokenClassifier([m1, m2], strategy=strategy)
+        assert np.allclose(ens.predict(frags), ref)
+    with _pytest.raises(ValueError, match="strategy"):
+        EnsembleTokenClassifier([m1], strategy="median")
+    # pickle round-trip (broadcast safety) preserves the salt
+    import pickle
+
+    m2b = pickle.loads(pickle.dumps(m2))
+    assert np.allclose(m2b.predict(frags), p2)
