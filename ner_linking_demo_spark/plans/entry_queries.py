@@ -1154,6 +1154,22 @@ def kg_detect_mentions_ensemble(spark, sf_dir):
     )
 
 
+@q(
+    "kg_norm_code_reduce",
+    _KG.norm_reduce_sql(_HGAZ, where="WHERE doc_id < 200"),
+)
+def kg_norm_code_reduce(spark, sf_dir):
+    """A4 word->mention code reduce (IOB-Norm path): per-word code
+    probabilities (hash-softmax surrogate) product-reduced over the
+    mention's words, argmax with ordinal tie-break."""
+    from ..operators.ner import detect_mentions
+    from ..operators.norm_reduce import normalize_mentions
+
+    gaz = _harness_gazetteer()
+    mentions = detect_mentions(_docs_as_pages(spark, sf_dir, limit=200), gaz)
+    return normalize_mentions(mentions, gaz, strategy="prod")
+
+
 @q("kg_link_mentions", _KG.link_mentions_sql(_HGAZ, k=3))
 def kg_link_mentions(spark, sf_dir):
     from ..operators.linking import build_indexes, link_mentions

@@ -513,3 +513,49 @@ def rerank_sql(gaz_pdf: pd.DataFrame, kind: str, where: str = "") -> str:
            ROUND(s2, 5) AS {alias}
     FROM scored2
     """
+
+
+def norm_reduce_sql(gaz_pdf: pd.DataFrame, where: str = "") -> str:
+    """Oracle for the A4 word->mention code reduce
+    (operators/norm_reduce.normalize_mentions, strategy='prod'): per
+    (word, code) softmax over md5 logits, product over the span's words
+    (as a log-sum — argmax-equivalent to the engine's prob product), and
+    argmax with lowest-ordinal tie-break, entirely in SQL."""
+    rows, counters = [], {}
+    for label, code in zip(gaz_pdf["label"], gaz_pdf["code"].astype(str)):
+        lu = str(label).upper()
+        o = counters.get(lu, 0)
+        counters[lu] = o + 1
+        rows.append(f"('{lu}', {o}, '{code}')")
+    codes_sql = "ncodes(label, ord, code) AS (VALUES\n  " + ",\n  ".join(rows) + ")"
+    return f"""
+    WITH {_mentions_ctes(gaz_pdf, where)},
+    {codes_sql},
+    mw AS (
+      SELECT url, start, "end", label, span,
+             unnest(string_split(span, ' ')) AS wd
+      FROM mentions
+    ),
+    logit AS (
+      SELECT m.url, m.start, m."end", m.label, m.span, m.wd, c.ord, c.code,
+             exp(('0x' || substr(md5('norm|' || m.wd || '|' || c.code), 1, 8))
+                 ::BIGINT / 4294967295.0) AS e
+      FROM mw m JOIN ncodes c ON c.label = m.label
+    ),
+    prob AS (
+      SELECT *, e / SUM(e) OVER (PARTITION BY url, start, "end", label, wd)
+               AS p
+      FROM logit
+    ),
+    red AS (
+      SELECT url, start, "end", label, span, ord, code, SUM(ln(p)) AS s
+      FROM prob GROUP BY url, start, "end", label, span, ord, code
+    ),
+    pick AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY url, start, "end", label
+                                   ORDER BY s DESC, ord ASC) AS rk
+      FROM red
+    )
+    SELECT url, label, start, "end", span, code AS norm_code
+    FROM pick WHERE rk = 1
+    """
