@@ -1170,6 +1170,69 @@ def kg_norm_code_reduce(spark, sf_dir):
     return normalize_mentions(mentions, gaz, strategy="prod")
 
 
+def _harness_vocab_rows():
+    """Deterministic hierarchy over the harness gazetteer: within a
+    label, every non-first code's parent is the label's first code."""
+    rows, first = [], {}
+    for label, code, term in zip(
+        _HGAZ["label"], _HGAZ["code"].astype(str), _HGAZ["term"]
+    ):
+        if label not in first:
+            first[label] = code
+            rows.append((code, term, []))
+        else:
+            rows.append((code, term, [first[label]]))
+    return rows
+
+
+def _j8_sql():
+    vocab_vals = ",\n      ".join(
+        f"('{c}', '{t}', {('[' + ', '.join(repr(p) for p in ps) + ']') if ps else '[]'}::VARCHAR[])"
+        for c, t, ps in _harness_vocab_rows()
+    )
+    corpus_vals = ", ".join(
+        f"('{c}')" for c, _, _ in _harness_vocab_rows()
+    ) + ", ('999999')"
+    return f"""
+    WITH vocab(code, term, parents) AS (VALUES
+      {vocab_vals}),
+    corpus(code) AS (VALUES {corpus_vals}),
+    percode AS (
+      SELECT v.code,
+             list_sort(list_distinct(v.parents)) AS parent_codes,
+             list_sort(list_distinct(list_concat(
+               COALESCE((SELECT list(v2.term) FROM vocab v2
+                         WHERE list_contains(v.parents, v2.code)), []),
+               (SELECT list(v3.term) FROM vocab v3 WHERE v3.code = v.code)
+             ))) AS strings
+      FROM vocab v
+    )
+    SELECT c.code, p.parent_codes, p.strings
+    FROM corpus c JOIN percode p USING (code)
+    """
+
+
+@q("j8_parent_expansion", _j8_sql())
+def j8_parent_expansion(spark, sf_dir):
+    """J8 parent-code expansion (reference triplet_generation.py:71-96):
+    corpus codes x hierarchy vocab -> parent codes + synonym strings;
+    the unknown code is dropped-and-counted (not_found), as the
+    reference's codigos_not_found counter."""
+    from ..operators.hierarchy import expand_parent_codes
+
+    vocab = spark.createDataFrame(
+        _harness_vocab_rows(),
+        "code string, term string, parents array<string>",
+    )
+    corpus = spark.createDataFrame(
+        [(c,) for c, _, _ in _harness_vocab_rows()] + [("999999",)],
+        "code string",
+    )
+    expanded, not_found = expand_parent_codes(corpus, vocab)
+    assert not_found.count() == 1  # the planted unknown code
+    return expanded
+
+
 @q("kg_link_mentions", _KG.link_mentions_sql(_HGAZ, k=3))
 def kg_link_mentions(spark, sf_dir):
     from ..operators.linking import build_indexes, link_mentions
