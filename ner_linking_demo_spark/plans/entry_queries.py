@@ -1233,6 +1233,53 @@ def j8_parent_expansion(spark, sf_dir):
     return expanded
 
 
+@q(
+    "j2_align_annotations",
+    f"""
+    WITH {_KG._otok_ctes("WHERE doc_id < 100")},
+    ok AS (SELECT url FROM otok GROUP BY url HAVING COUNT(*) >= 5),
+    ann AS (
+      SELECT o.url,
+             MAX(CASE WHEN pos = 3 THEN start END) + 1 AS astart,
+             MAX(CASE WHEN pos = 5 THEN start + length(w) END) - 1 AS aend
+      FROM otok o JOIN ok USING (url) GROUP BY o.url
+    ),
+    ts AS (SELECT o.url, MAX(o.pos) AS p FROM otok o JOIN ann a
+           ON o.url = a.url AND o.start <= a.astart GROUP BY o.url),
+    te AS (SELECT o.url, MIN(o.pos) AS p FROM otok o JOIN ann a
+           ON o.url = a.url AND o.start + length(o.w) >= a.aend
+           GROUP BY o.url)
+    SELECT o.url, o.pos, o.w AS word, o.start,
+           o.start + CAST(length(o.w) AS INT) AS "end",
+           CASE WHEN o.pos = ts.p THEN 'B'
+                WHEN o.pos > ts.p AND o.pos <= te.p THEN 'I'
+                ELSE 'O' END AS iob
+    FROM otok o JOIN ts USING (url) JOIN te USING (url)
+    """,
+)
+def j2_align_annotations(spark, sf_dir):
+    """J2 char-offset->word alignment (pre_process.py:600-620): one
+    synthetic annotation per doc starting 1 char INSIDE token 3 and
+    ending 1 char before token 5's end (so the covering-word rule, not
+    boundary equality, decides); oracle recomputes the rule in SQL."""
+    from ..operators.alignment import align_annotations_to_words
+
+    pages = _docs_as_pages(spark, sf_dir, limit=100)
+    toks = F.filter(F.split(F.trim("text"), r"\s+"), lambda t: t != "")
+    with_n = pages.withColumn("n", F.size(toks)).filter("n >= 5")
+    # char offsets of tokens 3 and 5 via the prefix-sum property
+    t3_start = (
+        F.length(F.concat_ws(" ", F.slice(toks, 1, 2))) + 1
+    )  # len(tok1 tok2) + separator
+    t5_end = F.length(F.concat_ws(" ", F.slice(toks, 1, 5)))
+    anns = with_n.select(
+        "url",
+        (t3_start + 1).cast("int").alias("start"),
+        (t5_end - 1).cast("int").alias("end"),
+    )
+    return align_annotations_to_words(with_n.select("url", "text"), anns)
+
+
 @q("kg_link_mentions", _KG.link_mentions_sql(_HGAZ, k=3))
 def kg_link_mentions(spark, sf_dir):
     from ..operators.linking import build_indexes, link_mentions
