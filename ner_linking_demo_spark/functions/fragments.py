@@ -44,9 +44,19 @@ def fragment_document(
     seq_len: int = 128,
     subtokenizer=surrogate_subtokenize,
     cased: bool = True,
+    ss: list[tuple[int, int]] | None = None,
 ) -> list[Fragment]:
     """text -> padded fragments (the NER UDF's per-document tensor shape:
-    [n_fragments, seq_len])."""
+    [n_fragments, seq_len]).
+
+    ``ss``: optional sentence-split (start, end) char pairs
+    (sources/sentence_split.py). When given, fragments NEVER cross a
+    sentence boundary — the reference's SS-aware packing
+    (`pre_process.py:814-877`): the flat subtoken stream is cut at each
+    sentence end (a subtoken belongs to the first sentence whose end
+    exceeds its word start), then each sentence packs into seq_len
+    chunks independently. The flat subtoken content is identical to the
+    greedy path (tested); only the chunk boundaries differ."""
     max_eff = seq_len - 2  # room for CLS/SEP
     flat_sub: list[str] = []
     flat_wid: list[int] = []
@@ -59,11 +69,32 @@ def fragment_document(
             flat_wid.append(wid)
             flat_off.append((start, end))
 
+    if ss is None:
+        cut_ranges = [(i, min(i + max_eff, len(flat_sub)))
+                      for i in range(0, max(len(flat_sub), 1), max_eff)]
+    else:
+        # sentence cuts first (reference: advance while subtoken word
+        # start < sentence end), then seq_len chunks within each sentence
+        cut_ranges = []
+        start_tok = 0
+        for _, ss_end in sorted(ss):
+            last_tok = start_tok
+            while last_tok < len(flat_sub) and flat_off[last_tok][0] < ss_end:
+                last_tok += 1
+            for i in range(start_tok, last_tok, max_eff):
+                cut_ranges.append((i, min(i + max_eff, last_tok)))
+            start_tok = last_tok
+        if start_tok < len(flat_sub):  # tail after the last sentence end
+            for i in range(start_tok, len(flat_sub), max_eff):
+                cut_ranges.append((i, min(i + max_eff, len(flat_sub))))
+        if not cut_ranges:
+            cut_ranges = [(0, 0)]
+
     frags: list[Fragment] = []
-    for i in range(0, max(len(flat_sub), 1), max_eff):
-        chunk = flat_sub[i : i + max_eff]
-        wids = flat_wid[i : i + max_eff]
-        offs = flat_off[i : i + max_eff]
+    for i, j in cut_ranges:
+        chunk = flat_sub[i:j]
+        wids = flat_wid[i:j]
+        offs = flat_off[i:j]
         n_pad = max_eff - len(chunk)
         frags.append(
             Fragment(
