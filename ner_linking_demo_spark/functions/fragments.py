@@ -105,3 +105,13 @@ def fragment_document(
             )
         )
     return frags
+
+
+def fasttext_subtokenize(word: str, width: int = 0) -> list[str]:
+    """FastText-style tokenizer (reference `pre_process.py:216-274`,
+    ``FastTextTokenizer.tokenize``): the word is kept whole — no subword
+    split. Plugs into fragment_document's ``subtokenizer`` seat; with it,
+    word_ids are 1:1 with subtokens and the A3 product degenerates to the
+    single piece's probabilities, exactly as a word-embedding model
+    behaves."""
+    return [word]

@@ -149,3 +149,26 @@ class EnsembleTokenClassifier:
         if self.strategy == "sum":
             return stack.sum(axis=0)
         return stack.prod(axis=0)
+
+
+def word_tags_crf_vote(
+    fragments: list[Fragment], probs: np.ndarray
+) -> tuple[list[str], list[tuple[int, int]]]:
+    """CRF-style word converter (reference `post_process.py:79-91`,
+    ``CRFAllWordPreds``): each subtoken votes its argmax class; the word's
+    tag = argmax of the relative-frequency histogram (np.argmax
+    lowest-index tie-break — B beats I beats O on equal votes).
+    Alternative to the prob-product converter (word_tags_from_probs)."""
+    votes: dict[int, np.ndarray] = {}
+    offs: dict[int, tuple[int, int]] = {}
+    for fi, frag in enumerate(fragments):
+        for pos, wid in enumerate(frag.word_ids):
+            if wid < 0:
+                continue
+            if wid not in votes:
+                votes[wid] = np.zeros(len(LABELS), dtype=np.int64)
+                offs[wid] = frag.offsets[pos]
+            votes[wid][int(np.argmax(probs[fi, pos]))] += 1
+    wids = sorted(votes)
+    tags = [LABELS[int(np.argmax(votes[w]))] for w in wids]
+    return tags, [offs[w] for w in wids]

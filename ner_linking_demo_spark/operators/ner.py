@@ -77,21 +77,44 @@ class TokenClassifierMentionProvider:
     `post_process.py:619-666`; the classifier seat takes real transformer
     weights without operator changes (ModelProvider pattern)."""
 
-    def __init__(self, classifier=None, label: str = "SPAN", seq_len: int = 128):
+    def __init__(
+        self,
+        classifier=None,
+        label: str = "SPAN",
+        seq_len: int = 128,
+        converter: str = "prob_product",
+        subtokenizer=None,
+    ):
         from ..functions.token_classifier import HashTokenClassifier
 
+        if converter not in ("prob_product", "crf_vote"):
+            raise ValueError(f"unknown converter: {converter!r}")
         self.classifier = classifier or HashTokenClassifier()
         self.label = label
         self.seq_len = seq_len
+        self.converter = converter  # A3 product vs CRF relative-freq vote
+        self.subtokenizer = subtokenizer  # None -> surrogate BPE chunks
 
     def find_mentions(self, text: str) -> list[tuple[str, int, int, str]]:
-        from ..functions.fragments import fragment_document
-        from ..functions.token_classifier import word_tags_from_probs
+        from ..functions.fragments import fragment_document, surrogate_subtokenize
+        from ..functions.token_classifier import (
+            word_tags_crf_vote,
+            word_tags_from_probs,
+        )
         from .iob import decode_iob_scan
 
-        frags = fragment_document(text, seq_len=self.seq_len)
+        frags = fragment_document(
+            text,
+            seq_len=self.seq_len,
+            subtokenizer=self.subtokenizer or surrogate_subtokenize,
+        )
         probs = self.classifier.predict(frags)
-        tags, offsets = word_tags_from_probs(frags, probs)
+        convert = (
+            word_tags_from_probs
+            if self.converter == "prob_product"
+            else word_tags_crf_vote
+        )
+        tags, offsets = convert(frags, probs)
         return [
             (self.label, s, e, text[s:e])
             for s, e in decode_iob_scan(tags, offsets)

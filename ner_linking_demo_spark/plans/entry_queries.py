@@ -1129,6 +1129,22 @@ def kg_detect_mentions_iob(spark, sf_dir):
 
 
 @q(
+    "kg_detect_mentions_crf",
+    _KG.iob_detect_sql(where="WHERE doc_id < 150", converter="crf_vote"),
+)
+def kg_detect_mentions_crf(spark, sf_dir):
+    """CRF word-preds converter (post_process.py:79-91): subtoken argmax
+    votes, word tag = most frequent class (lowest-class tie-break) —
+    the alternative to the A3 prob-product converter, same M1->M3 chain."""
+    from ..operators.ner import TokenClassifierMentionProvider, detect_mentions
+
+    return detect_mentions(
+        _docs_as_pages(spark, sf_dir, limit=150),
+        provider=TokenClassifierMentionProvider(converter="crf_vote"),
+    )
+
+
+@q(
     "kg_detect_mentions_ensemble",
     _KG.iob_detect_sql(
         where="WHERE doc_id < 150", salts=("", "m2"), strategy="prod"

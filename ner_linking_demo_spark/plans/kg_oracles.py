@@ -370,6 +370,7 @@ def iob_detect_sql(
     sub_width: int = 4,
     salts: tuple = ("",),
     strategy: str = "prod",
+    converter: str = "prob_product",
 ) -> str:
     """Oracle for the M2 token-classifier NER chain
     (operators/ner.TokenClassifierMentionProvider): reproduces the
@@ -414,6 +415,35 @@ def iob_detect_sql(
         return f"ln({combined})"
 
     lnb, lni, lno = (ln_combined(lab) for lab in ("B", "I", "O"))
+    if converter == "prob_product":
+        # A3: per-word log-prob sums, argmax (lowest-index ties)
+        words_body = """
+      SELECT url, pos, any_value(w) AS w, any_value(start) AS start,
+             any_value("end") AS "end",
+             CASE WHEN SUM(ln_b) >= SUM(ln_i) AND SUM(ln_b) >= SUM(ln_o)
+                    THEN 'B'
+                  WHEN SUM(ln_i) >= SUM(ln_o) THEN 'I'
+                  ELSE 'O' END AS iob
+      FROM plp GROUP BY url, pos"""
+    elif converter == "crf_vote":
+        # CRFAllWordPreds: subtoken argmax votes, word = most frequent
+        # class (count desc, class asc — np.argmax of the bincount)
+        words_body = """
+      SELECT url, pos, w, start, "end", iob FROM (
+        SELECT url, pos, any_value(w) AS w, any_value(start) AS start,
+               any_value("end") AS "end", cls,
+               CASE cls WHEN 0 THEN 'B' WHEN 1 THEN 'I' ELSE 'O' END AS iob,
+               ROW_NUMBER() OVER (PARTITION BY url, pos
+                                  ORDER BY COUNT(*) DESC, cls ASC) AS crk
+        FROM (
+          SELECT url, pos, w, start, "end",
+                 CASE WHEN ln_b >= ln_i AND ln_b >= ln_o THEN 0
+                      WHEN ln_i >= ln_o THEN 1 ELSE 2 END AS cls
+          FROM plp
+        ) GROUP BY url, pos, cls
+      ) WHERE crk = 1"""
+    else:
+        raise ValueError(f"unknown converter {converter!r}")
     return f"""
     WITH {_otok_ctes(where)},
     pieces AS (
@@ -435,14 +465,7 @@ def iob_detect_sql(
              {lno} AS ln_o
       FROM p2
     ),
-    words AS (
-      SELECT url, pos, any_value(w) AS w, any_value(start) AS start,
-             any_value("end") AS "end",
-             CASE WHEN SUM(ln_b) >= SUM(ln_i) AND SUM(ln_b) >= SUM(ln_o)
-                    THEN 'B'
-                  WHEN SUM(ln_i) >= SUM(ln_o) THEN 'I'
-                  ELSE 'O' END AS iob
-      FROM plp GROUP BY url, pos
+    words AS ({words_body}
     ),
     tagged AS (
       SELECT *, SUM(CASE WHEN iob = 'B' THEN 1 ELSE 0 END)

@@ -107,3 +107,41 @@ def test_ensemble_strategies():
 
     m2b = pickle.loads(pickle.dumps(m2))
     assert np.allclose(m2b.predict(frags), p2)
+
+
+def test_crf_vote_converter():
+    """CRF vote: word tag = modal subtoken argmax (count desc, class asc
+    tie-break) — differs from the prob-product converter by design."""
+    from ner_linking_demo_spark.functions.token_classifier import (
+        word_tags_crf_vote,
+    )
+
+    clf = HashTokenClassifier()
+    frags = fragment_document("abcdefgh ij", seq_len=128)  # 2+1 pieces
+    probs = clf.predict(frags)
+    tags, offsets = word_tags_crf_vote(frags, probs)
+    # word 0: pieces 'abcd','##efgh' vote independently
+    v0 = [int(np.argmax(probs[0][i])) for i, w in enumerate(frags[0].word_ids) if w == 0]
+    counts = np.bincount(v0, minlength=3)
+    assert tags[0] == ("B", "I", "O")[int(np.argmax(counts))]
+    assert offsets == [(0, 8), (9, 11)]
+
+
+def test_fasttext_subtokenizer_whole_word():
+    from ner_linking_demo_spark.functions.fragments import (
+        fasttext_subtokenize,
+    )
+    from ner_linking_demo_spark.operators.ner import (
+        TokenClassifierMentionProvider,
+    )
+
+    assert fasttext_subtokenize("abcdefgh") == ["abcdefgh"]
+    prov = TokenClassifierMentionProvider(subtokenizer=fasttext_subtokenize)
+    frags = fragment_document(
+        "alpha bravo", seq_len=128, subtokenizer=fasttext_subtokenize
+    )
+    # 1:1 word <-> subtoken
+    assert [w for w in frags[0].word_ids if w >= 0] == [0, 1]
+    # provider runs end-to-end with the whole-word tokenizer
+    out = prov.find_mentions("alpha bravo charlie " * 3)
+    assert all(sp == ("alpha bravo charlie " * 3)[s:e] for _, s, e, sp in out)
