@@ -6,6 +6,15 @@ pages -> mentions -> linked codes -> canonicalized triples), the
 BASELINE.md engine metric. Per-query wall seconds for representative
 operators ride along in "queries".
 
+Measurement protocol (round-2 verdict item 6): INTERLEAVED rounds —
+every benchmark runs once per round, rounds repeat NLDS_BENCH_REPEATS
+times (default 3), and the reported number is the per-benchmark MEDIAN.
+This sandbox VM down-clocks under sustained load with run-to-run swings
+up to 2x (BENCH/BASELINE.md); back-to-back repeats of one query share
+the same throttle state, so only interleaving + median makes cross-round
+comparisons falsifiable. Per-query relative spread (max-min)/median is
+published in "queries_spread".
+
 Results are fully materialized via the noop sink (no driver collect
 overhead, no disk write variance).
 """
@@ -14,6 +23,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 
@@ -55,18 +65,9 @@ def main() -> None:
         F.sum(_warm("id"))
     ).collect()
 
-    timings: dict[str, float] = {}
-    repeats = int(os.environ.get("NLDS_BENCH_REPEATS", "2"))
+    rounds = int(os.environ.get("NLDS_BENCH_REPEATS", "3"))
 
-    def best_of(make_df) -> float:
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.time()
-            _materialize(make_df())
-            best = min(best, time.time() - t0)
-        return best
-
-    # --- headline: full KG pipeline, lazy single plan, noop sink --------
+    # --- build the benchmark list (name -> thunk that materializes) -----
     pages = EQ._docs_as_pages(spark, sf_dir)
     # default corpus scale-up: sf0.1's 5000 docs are overhead-bound at 32
     # cores; x8 (40k docs) measures steady-state pipeline throughput (the
@@ -77,70 +78,98 @@ def main() -> None:
         # copy) so the scaling bench is compute-bound, not overhead-bound;
         # crossJoin keeps the plan a single scan branch (a 40-way union
         # would serialize seconds of driver-side planning per run)
-        from pyspark.sql import functions as FF
-
         reps = spark.range(replicate).toDF("rep")
-        pages = pages.crossJoin(FF.broadcast(reps)).select(
-            FF.concat("url", FF.lit("#r"), "rep").alias("url"), "text"
+        pages = pages.crossJoin(F.broadcast(reps)).select(
+            F.concat("url", F.lit("#r"), "rep").alias("url"), "text"
         )
     n_docs = pages.count()
     gaz = EQ._harness_gazetteer()
-    kg_wall = best_of(
-        lambda: run_pipeline(
-            spark, pages, gaz, k=3, num_partitions=cpus * 2
-        ).triples
-    )
-    timings["kg_pipeline_e2e"] = round(kg_wall, 3)
 
-    # --- checkpointed (two-stage, resumable) plan: the resumability tax
-    # as a number next to the fused plan ------------------------------
-    ckpt_wall = None
-    if os.environ.get("NLDS_BENCH_ONLY") != "kg":
+    benches: list[tuple[str, object]] = [
+        (
+            "kg_pipeline_e2e",
+            lambda: _materialize(
+                run_pipeline(
+                    spark, pages, gaz, k=3, num_partitions=cpus * 2
+                ).triples
+            ),
+        )
+    ]
+
+    only_kg = os.environ.get("NLDS_BENCH_ONLY") == "kg"
+    if not only_kg:
         import shutil
         import tempfile
 
         def run_ckpt():
             d = tempfile.mkdtemp(prefix="nlds_bench_ckpt_")
             try:
-                t0 = time.time()
                 _materialize(
                     run_pipeline(
                         spark, pages, gaz, k=3, num_partitions=cpus * 2,
                         checkpoint_dir=d,
                     ).triples
                 )
-                return time.time() - t0
             finally:
                 shutil.rmtree(d, ignore_errors=True)
 
-        ckpt_wall = min(run_ckpt() for _ in range(repeats))
-        timings["kg_pipeline_checkpointed"] = round(ckpt_wall, 3)
+        benches.append(("kg_pipeline_checkpointed", run_ckpt))
 
-    # --- representative operator queries --------------------------------
-    bench_queries = [] if os.environ.get("NLDS_BENCH_ONLY") == "kg" else [
-        "a1_pricing_summary",
-        "j1_revenue_by_nation",
-        "w3_k_distinct_scan",
-        "w8_sessionize",
-        "dedup_exact",
-        "dedup_minhash_lsh",
-        "dedup_simhash",
-        "ann_bruteforce_topk",
-        "ann_join_topk",
-        "kg_detect_mentions_iob",
-        "text_token_count",
-        "text_quality_score",
-        "kg_connected_components",
-        "mm_extract_features",
-    ]
-    all_q = EQ.queries()
-    for name in bench_queries:
-        timings[name] = round(
-            best_of(lambda: all_q[name](spark, sf_dir)), 3
-        )
+        all_q = EQ.queries()
+        for qname in [
+            "a1_pricing_summary",
+            "j1_revenue_by_nation",
+            "w3_k_distinct_scan",
+            "w8_sessionize",
+            "dedup_exact",
+            "dedup_minhash_lsh",
+            "dedup_simhash",
+            "ann_bruteforce_topk",
+            "ann_join_topk",
+            "kg_detect_mentions_iob",
+            "text_analysis",
+            "kg_connected_components",
+            "mm_extract_features",
+        ]:
+            benches.append(
+                (
+                    qname,
+                    lambda q=qname: _materialize(all_q[q](spark, sf_dir)),
+                )
+            )
 
+        # the corpus-scale explode+partial-agg SimHash form, measured next
+        # to the expression form (round-2 verdict: decide the benched
+        # default from a noise-controlled comparison)
+        from ner_linking_demo_spark.operators import dedup as DD
+
+        def run_simhash_sig():
+            d = (
+                spark.read.parquet(f"{sf_dir}/documents.parquet")
+                .filter("doc_id < 200")
+                .select("doc_id", "text")
+            )
+            _materialize(DD.simhash_signatures_df(d, prefix_bits=32))
+
+        benches.append(("dedup_simhash_sig", run_simhash_sig))
+
+    # --- interleaved rounds, median per benchmark ------------------------
+    samples: dict[str, list[float]] = {name: [] for name, _ in benches}
+    for _ in range(rounds):
+        for name, thunk in benches:
+            t0 = time.time()
+            thunk()
+            samples[name].append(time.time() - t0)
+
+    timings = {n: round(statistics.median(s), 3) for n, s in samples.items()}
+    spread = {
+        n: round((max(s) - min(s)) / max(statistics.median(s), 1e-9), 2)
+        for n, s in samples.items()
+    }
+
+    kg_wall = timings["kg_pipeline_e2e"]
+    ckpt_wall = timings.get("kg_pipeline_checkpointed")
     total = round(sum(timings.values()), 3)
-    docs_per_sec = round(n_docs / kg_wall, 2)
     print(
         json.dumps(
             {
@@ -148,10 +177,12 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_spread": spread,
+                "protocol": f"interleaved median of {rounds}",
                 "sf": sf_dir,
                 "cpus": cpus,
                 "n_docs": n_docs,
-                "kg_docs_per_sec": docs_per_sec,
+                "kg_docs_per_sec": round(n_docs / kg_wall, 2),
                 "kg_docs_per_sec_checkpointed": (
                     round(n_docs / ckpt_wall, 2) if ckpt_wall else None
                 ),

@@ -96,31 +96,42 @@ def extract_features(
     media: DataFrame,
     decoder: Callable[[bytes], np.ndarray] = fake_decoder,
     size_balance_partitions: int | None = None,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
-    """media -> (doc_id, media_type, n_bytes, features array<float>).
+    """media -> (doc_id, media_type, n_bytes, features array<float>
+    [, passthrough...]).
 
     ``decoder`` runs once per payload inside an Arrow-batched iterator UDF;
     heavy per-worker state (a real model) would be initialized once before
-    the batch loop, exactly like the NER/embedding stages."""
+    the batch loop, exactly like the NER/embedding stages.
+
+    ``passthrough``: extra input columns carried through the UDF batch —
+    metadata travels with the payload instead of a post-hoc self-join
+    (one scan, no shuffle)."""
     src = media
     if size_balance_partitions:
         src = media.repartitionByRange(
             size_balance_partitions, F.length("media")
         )
+    schema = T.StructType(
+        FEATURES_SCHEMA.fields
+        + [src.schema[c] for c in passthrough]
+    )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         # (real decoders initialize their model/codec state HERE, once)
         for pdf in batches:
             feats = [decoder(m) for m in pdf["media"]]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "n_bytes": [
-                        len(m) if m is not None else 0 for m in pdf["media"]
-                    ],
-                    "features": [f.astype(np.float32) for f in feats],
-                }
-            )
+            out = {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": [
+                    len(m) if m is not None else 0 for m in pdf["media"]
+                ],
+                "features": [f.astype(np.float32) for f in feats],
+            }
+            for c in passthrough:
+                out[c] = pdf[c]
+            yield pd.DataFrame(out)
 
-    return src.mapInPandas(run, schema=FEATURES_SCHEMA)
+    return src.mapInPandas(run, schema=schema)

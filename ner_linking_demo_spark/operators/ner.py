@@ -121,6 +121,36 @@ class TokenClassifierMentionProvider:
         ]
 
 
+class MultiTypeMentionProvider:
+    """Multi-entity-type NER composition (reference
+    `mentions_detection.py:216-286`): ONE forward pass per entity type
+    with that type's weight set, results concatenated, sorted by
+    (start, end, label) with the reference's no-duplicate assert
+    (`mentions_detection.py:283-286`). Here all types run inside the
+    SAME Arrow-batched UDF pass — one corpus scan for N types, not N
+    scans (the reference re-reads the text per type).
+
+    ``providers``: {entity_type: provider}; each provider's own label is
+    overridden by its entity type (upper-cased downstream, matching the
+    reference's ``format_annotations(label=entity_type.upper())``)."""
+
+    def __init__(self, providers: dict):
+        self.providers = sorted(providers.items())  # sorted(arr_ent_type)
+
+    def find_mentions(self, text: str) -> list[tuple[str, int, int, str]]:
+        out: list[tuple[str, int, int, str]] = []
+        for etype, provider in self.providers:
+            out.extend(
+                (etype, s, e, span)
+                for _label, s, e, span in provider.find_mentions(text)
+            )
+        out.sort(key=lambda m: (m[1], m[2], m[0]))
+        keys = [(s, e, lab) for lab, s, e, _ in out]
+        if len(set(keys)) != len(keys):  # reference's duplicated() assert
+            raise ValueError("duplicate (start, end, label) mention")
+        return out
+
+
 def detect_mentions(
     pages: DataFrame,
     gazetteer_pdf: pd.DataFrame | None = None,

@@ -79,7 +79,7 @@ NORMALIZED_SCHEMA = T.StructType(
         T.StructField("start", T.IntegerType(), False),
         T.StructField("end", T.IntegerType(), False),
         T.StructField("span", T.StringType(), False),
-        T.StructField("norm_code", T.StringType(), False),
+        T.StructField("norm_code", T.StringType(), True),
     ]
 )
 
@@ -96,7 +96,10 @@ def normalize_mentions(
     mention grain (no word-grain shuffle)."""
     spark = mentions.sparkSession
     codes_by_label = {
-        str(label).upper(): [str(c) for c in sub["code"]]
+        # dedupe codes keeping first-occurrence order: multi-synonym
+        # gazetteers repeat codes, which would double-count them in the
+        # prod/sum reduces (and shift the argmax ordinal tie-break)
+        str(label).upper(): list(dict.fromkeys(str(c) for c in sub["code"]))
         for label, sub in gazetteer_pdf.groupby("label")
     }
     bc = spark.sparkContext.broadcast((codes_by_label, strategy))
@@ -105,8 +108,13 @@ def normalize_mentions(
         cbl, strat = bc.value
         for pdf in batches:
             out = pdf[["url", "label", "start", "end", "span"]].copy()
+            # labels absent from the gazetteer (e.g. SPAN from the token
+            # classifier, or an external mentions table) null-code rather
+            # than KeyError inside the UDF
             out["norm_code"] = [
                 reduce_mention_code(span.split(), cbl[label], strat)
+                if label in cbl
+                else None
                 for span, label in zip(pdf["span"], pdf["label"])
             ]
             yield out

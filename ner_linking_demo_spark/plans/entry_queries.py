@@ -155,16 +155,49 @@ def p1_filter_project(spark, sf_dir):
 
 
 @q(
-    "p7_dedup_rows",
+    "u_set_ops",
     """
-    SELECT DISTINCT l_returnflag AS flag, l_linestatus AS status FROM lineitem
+    SELECT 'u1' AS op, l_returnflag AS val FROM lineitem
+    UNION
+    SELECT 'u1', l_linestatus FROM lineitem
+    UNION ALL
+    SELECT DISTINCT 'u4', CAST(l_partkey AS VARCHAR) FROM lineitem
+    WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 3 = 0)
+    UNION ALL
+    SELECT DISTINCT 'p7', l_returnflag || '|' || l_linestatus FROM lineitem
     """,
 )
-def p7_dedup_rows(spark, sf_dir):
+def u_set_ops(spark, sf_dir):
+    """U1 union-distinct + U4/P5 anti-join (negative sampling) + P7 row
+    dedup, tagged and unioned into one driver entry (round-2 verdict:
+    consolidate set-op trivia to fit the 50-entry verification window).
+    Each leg keeps its own operator plan — the union is presentation."""
     li = _t(spark, sf_dir, "lineitem")
-    return li.select(
-        F.col("l_returnflag").alias("flag"), F.col("l_linestatus").alias("status")
-    ).dropDuplicates()
+    u1 = (
+        li.select(F.col("l_returnflag").alias("val"))
+        .union(li.select("l_linestatus"))
+        .distinct()
+        .select(F.lit("u1").alias("op"), "val")
+    )
+    p = _t(spark, sf_dir, "part").filter("p_partkey % 3 = 0")
+    u4 = (
+        li.select("l_partkey")
+        .dropDuplicates()
+        .join(p, li.l_partkey == p.p_partkey, "left_anti")
+        .select(
+            F.lit("u4").alias("op"),
+            F.col("l_partkey").cast("string").alias("val"),
+        )
+    )
+    p7 = (
+        li.select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+        .select(
+            F.lit("p7").alias("op"),
+            F.concat_ws("|", "l_returnflag", "l_linestatus").alias("val"),
+        )
+    )
+    return u1.unionByName(u4).unionByName(p7)
 
 
 @q(
@@ -368,43 +401,6 @@ def a3_log_prob_product(spark, sf_dir):
 
 
 @q(
-    "u1_union_distinct",
-    """
-    SELECT l_returnflag AS v FROM lineitem
-    UNION
-    SELECT l_linestatus FROM lineitem
-    """,
-)
-def u1_union_distinct(spark, sf_dir):
-    li = _t(spark, sf_dir, "lineitem")
-    return (
-        li.select(F.col("l_returnflag").alias("v"))
-        .union(li.select("l_linestatus"))
-        .distinct()
-    )
-
-
-@q(
-    "u4_anti_join",
-    """
-    SELECT DISTINCT l_partkey FROM lineitem
-    WHERE l_partkey NOT IN (SELECT p_partkey FROM part WHERE p_partkey % 3 = 0)
-    """,
-)
-def u4_anti_join(spark, sf_dir):
-    """U4/P5 negative-sampling shape: left-anti join (non-empty both
-    sides)."""
-    li = _t(spark, sf_dir, "lineitem")
-    p = _t(spark, sf_dir, "part").filter("p_partkey % 3 = 0")
-    return (
-        li.select("l_partkey")
-        .dropDuplicates()
-        .join(p, li.l_partkey == p.p_partkey, "left_anti")
-        .select("l_partkey")
-    )
-
-
-@q(
     "a9_group_mean_embedding",
     """
     SELECT label, idx, ROUND(AVG(embedding[idx]::DOUBLE), 6) AS mean_v
@@ -433,65 +429,58 @@ def a9_group_mean_embedding(spark, sf_dir):
 
 
 @q(
-    "f3_substring_offsets",
+    "f_string_ops",
     """
-    SELECT doc_id, substr(text, 11, 20) AS snippet, length(text) AS n_cp
+    SELECT 'f3' AS op, doc_id AS key, substr(text, 11, 20) AS s,
+           CAST(length(text) AS BIGINT) AS n
     FROM documents WHERE doc_id < 50
-    """,
-)
-def f3_substring_offsets(spark, sf_dir):
-    """F3 code-point substring semantics (offset fidelity)."""
-    d = _t(spark, sf_dir, "documents")
-    return d.filter("doc_id < 50").select(
-        "doc_id",
-        F.substring("text", 11, 20).alias("snippet"),
-        F.length("text").alias("n_cp"),
-    )
-
-
-@q(
-    "f4_location_roundtrip",
-    """
-    SELECT event_id,
-           CAST(string_split(loc, ' ')[1] AS BIGINT) AS start_back,
-           CAST(string_split(loc, ' ')[2] AS BIGINT) AS end_back
+    UNION ALL
+    SELECT 'f4', event_id,
+           string_split(loc, ' ')[1] AS s,
+           CAST(string_split(loc, ' ')[2] AS BIGINT) AS n
     FROM (
       SELECT event_id, CAST(user_id AS VARCHAR) || ' ' ||
              CAST(user_id + 7 AS VARCHAR) AS loc
       FROM events WHERE event_id < 200
     )
-    """,
-)
-def f4_location_roundtrip(spark, sf_dir):
-    """F4 BRAT-style location string encode/decode round trip."""
-    ev = _t(spark, sf_dir, "events").filter("event_id < 200")
-    enc = ev.select(
-        "event_id",
-        F.concat_ws(
-            " ", F.col("user_id"), (F.col("user_id") + 7)
-        ).alias("loc"),
-    )
-    parts = F.split("loc", " ")
-    return enc.select(
-        "event_id",
-        parts.getItem(0).cast("long").alias("start_back"),
-        parts.getItem(1).cast("long").alias("end_back"),
-    )
-
-
-@q(
-    "f6_json_extract",
-    """
-    SELECT event_id, CAST(props->>'k' AS BIGINT) AS k
+    UNION ALL
+    SELECT 'f6', event_id, '', CAST(props->>'k' AS BIGINT)
     FROM events WHERE event_id < 300
     """,
 )
-def f6_json_extract(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events").filter("event_id < 300")
-    return ev.select(
-        "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
+def f_string_ops(spark, sf_dir):
+    """F3 code-point substring offsets + F4 BRAT-style location string
+    encode/decode round trip + F6 JSON extract — tagged union into one
+    driver entry (round-2 verdict consolidation). `s` carries the string
+    result (F4's parsed start stays a string so the legs share a shape);
+    `n` carries the numeric result."""
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 50")
+    f3 = d.select(
+        F.lit("f3").alias("op"),
+        F.col("doc_id").alias("key"),
+        F.substring("text", 11, 20).alias("s"),
+        F.length("text").cast("long").alias("n"),
     )
+    ev4 = _t(spark, sf_dir, "events").filter("event_id < 200")
+    enc = ev4.select(
+        "event_id",
+        F.concat_ws(" ", F.col("user_id"), (F.col("user_id") + 7)).alias("loc"),
+    )
+    parts = F.split("loc", " ")
+    f4 = enc.select(
+        F.lit("f4").alias("op"),
+        F.col("event_id").alias("key"),
+        parts.getItem(0).alias("s"),
+        parts.getItem(1).cast("long").alias("n"),
+    )
+    ev6 = _t(spark, sf_dir, "events").filter("event_id < 300")
+    f6 = ev6.select(
+        F.lit("f6").alias("op"),
+        F.col("event_id").alias("key"),
+        F.lit("").alias("s"),
+        F.get_json_object("props", "$.k").cast("long").alias("n"),
+    )
+    return f3.unionByName(f4).unionByName(f6)
 
 
 # ---------------------------------------------------------------------------
@@ -891,9 +880,45 @@ def ann_join_topk(spark, sf_dir):
     )
 
 
-@q("ann_lsh_topk", None)  # single-vector probe variant; the batch path
-# (ann_join_topk) carries the exact oracle — this one's recall is
-# pytest-gated vs brute force in tests/test_similarity.py
+def _ann_lsh_topk_sql(n_planes: int = 8, dim: int = 64, k: int = 10,
+                      probe_bits: int = 1) -> str:
+    """Exact-semantics oracle for the single-vector LSH probe (round-2
+    verdict item 3 — was rows-only): the query vector is vec_id 0, its
+    bucket + Hamming-ball probes select candidates, exact cosine ranks.
+    Same plane-literal technique as `_ann_join_sql`."""
+    planes = SIM.hyperplanes(dim=dim, n_planes=n_planes)
+    pl_rows = ",\n      ".join(
+        f"({b}, [{', '.join(repr(float(x)) for x in planes[b])}]::DOUBLE[])"
+        for b in range(n_planes)
+    )
+    return f"""
+    WITH pl(b, v) AS (VALUES
+      {pl_rows}),
+    base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    bk AS (
+      SELECT base.vec_id,
+             CAST(SUM(CASE WHEN list_dot_product(base.v, pl.v) > 0
+                      THEN 1::BIGINT << pl.b ELSE 0 END) AS BIGINT) AS bucket
+      FROM base, pl GROUP BY base.vec_id
+    ),
+    q AS (
+      SELECT b.v AS qv, k.bucket AS qb,
+             sqrt(list_dot_product(b.v, b.v)) AS qn
+      FROM base b JOIN bk k USING (vec_id) WHERE b.vec_id = 0
+    ),
+    cand AS (
+      SELECT b.vec_id,
+             list_dot_product(b.v, q.qv)
+               / (sqrt(list_dot_product(b.v, b.v)) * q.qn) AS cosine
+      FROM base b JOIN bk k USING (vec_id), q
+      WHERE bit_count(xor(k.bucket, q.qb)) <= {probe_bits}
+    )
+    SELECT vec_id, ROUND(cosine, 6) AS cosine
+    FROM cand ORDER BY cosine DESC, vec_id ASC LIMIT {k}
+    """
+
+
+@q("ann_lsh_topk", _ann_lsh_topk_sql())
 def ann_lsh_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qvec = e.filter("vec_id = 0").select("embedding").head()[0]
@@ -908,92 +933,40 @@ def ann_lsh_topk(spark, sf_dir):
 # ---------------------------------------------------------------------------
 
 
-@q(
-    "text_token_count",
-    """
-    SELECT doc_id,
-           len(regexp_extract_all(trim(text), '\\S+')) AS n_tokens,
-           len(regexp_extract_all(text,
-               '[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]')) AS n_bpe_tokens
-    FROM documents
-    """,
-)
-def text_token_count(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        TA.token_count(F.col("text")).alias("n_tokens"),
-        TA.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
-    )
-
-
 _ES_SQL = "['" + "','".join(TA.ES_STOPWORDS) + "']"
 _EN_SQL = "['" + "','".join(TA.EN_STOPWORDS) + "']"
 
 
 @q(
-    "text_lang_id",
+    "text_analysis",
     f"""
     SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(regexp_extract_all(text,
+               '[\\p{{L}}]+|[\\p{{N}}]+|[^\\p{{L}}\\p{{N}}\\s]')) AS BIGINT)
+             AS n_bpe_tokens,
            CASE WHEN es > en AND es > 0 THEN 'es'
                 WHEN en > es AND en > 0 THEN 'en'
-                ELSE 'unknown' END AS lang_pred
-    FROM (
-      SELECT doc_id,
-             len(list_filter(toks, t -> list_contains({_ES_SQL}, t))) AS es,
-             len(list_filter(toks, t -> list_contains({_EN_SQL}, t))) AS en
-      FROM (SELECT doc_id,
-                   list_transform(regexp_extract_all(trim(text), '\\S+'),
-                                  t -> lower(t)) AS toks
-            FROM documents)
-    )
-    """,
-)
-def text_lang_id(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select("doc_id", TA.lang_id(F.col("text")).alias("lang_pred"))
-
-
-@q(
-    "text_fingerprint",
-    """
-    SELECT doc_id,
+                ELSE 'unknown' END AS lang_pred,
            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
-           md5(substr(text, 1, 16)) AS fp_head
-    FROM documents
-    """,
-)
-def text_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
-    return d.select(
-        "doc_id",
-        TA.content_fingerprint(F.col("text")).alias("fp"),
-        F.element_at(
-            TA.rolling_fingerprints(F.col("text"), window=16, every=10**9), 1
-        ).alias("fp_head"),
-    )
-
-
-@q(
-    "text_quality_score",
-    f"""
-    SELECT doc_id,
-           ROUND(least(n / 50.0, 1.0) * 0.3
+           md5(substr(text, 1, 16)) AS fp_head,
+           ROUND(least(len(toks) / 50.0, 1.0) * 0.3
                  + (CASE WHEN mwl >= 3.0 AND mwl <= 12.0
                          THEN 1.0 ELSE 0.3 END) * 0.2
                  + (CASE WHEN n_punct / greatest(length(text), 1) <= 0.2
                          THEN 1.0 ELSE 0.3 END) * 0.2
-                 + least(sw / greatest(n * 0.1, 1.0), 1.0) * 0.3, 6) AS quality
+                 + least((es + en) / greatest(len(toks) * 0.1, 1.0), 1.0)
+                   * 0.3, 6) AS quality
     FROM (
-      SELECT doc_id, text,
-             len(toks)::DOUBLE AS n,
+      SELECT doc_id, text, toks,
+             len(list_filter(lt, t -> list_contains({_ES_SQL}, t)))::DOUBLE
+               AS es,
+             len(list_filter(lt, t -> list_contains({_EN_SQL}, t)))::DOUBLE
+               AS en,
              list_sum(list_transform(toks, t -> length(t)))::DOUBLE
                / greatest(len(toks), 1) AS mwl,
              length(regexp_replace(text, '[^[:punct:]]', '', 'g'))::DOUBLE
-               AS n_punct,
-             (len(list_filter(lt, t -> list_contains({_ES_SQL}, t)))
-              + len(list_filter(lt, t -> list_contains({_EN_SQL}, t))))::DOUBLE
-               AS sw
+               AS n_punct
       FROM (
         SELECT doc_id, text,
                regexp_extract_all(trim(text), '\\S+') AS toks,
@@ -1004,14 +977,26 @@ def text_fingerprint(spark, sf_dir):
     )
     """,
 )
-def text_quality_score(spark, sf_dir):
-    """Composite quality heuristic; the oracle recomputes every component
+def text_analysis(spark, sf_dir):
+    """Text-analysis family in one per-doc projection (round-2 verdict
+    consolidation — was 4 entries): whitespace + BPE-ish token counts,
+    stopword-vote language id, content + head fingerprints, and the
+    composite quality heuristic. The oracle recomputes every component
     (token count, mean word length, punct ratio — POSIX [[:punct:]] vs
     Java \\p{{P}} agree on the ASCII-only harness text — stopword rate)
-    with the identical double arithmetic and weighting."""
+    with the identical double arithmetic and weighting. One scan, zero
+    shuffles: all columns are pure Catalyst expressions."""
     d = _t(spark, sf_dir, "documents")
     return d.select(
-        "doc_id", F.round(TA.quality_score(F.col("text")), 6).alias("quality")
+        "doc_id",
+        TA.token_count(F.col("text")).alias("n_tokens"),
+        TA.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
+        TA.lang_id(F.col("text")).alias("lang_pred"),
+        TA.content_fingerprint(F.col("text")).alias("fp"),
+        F.element_at(
+            TA.rolling_fingerprints(F.col("text"), window=16, every=10**9), 1
+        ).alias("fp_head"),
+        F.round(TA.quality_score(F.col("text")), 6).alias("quality"),
     )
 
 
@@ -1171,6 +1156,37 @@ def kg_detect_mentions_ensemble(spark, sf_dir):
 
 
 @q(
+    "kg_detect_mentions_multitype",
+    _KG.multitype_detect_sql(where="WHERE doc_id < 150"),
+)
+def kg_detect_mentions_multitype(spark, sf_dir):
+    """Multi-entity-type M2 composition (round-2 verdict item 7;
+    reference `mentions_detection.py:216-286`): one weight set (salted
+    surrogate classifier) per entity type, per-type U1 concat with the
+    reference's (start, end, label) sort + duplicate assert — all types
+    inside ONE UDF pass over the corpus (one scan for N types, where the
+    reference re-runs `model.predict` per type over re-read text)."""
+    from ..functions.token_classifier import HashTokenClassifier
+    from ..operators.ner import (
+        MultiTypeMentionProvider,
+        TokenClassifierMentionProvider,
+        detect_mentions,
+    )
+
+    provider = MultiTypeMentionProvider(
+        {
+            "disease": TokenClassifierMentionProvider(),
+            "procedure": TokenClassifierMentionProvider(
+                classifier=HashTokenClassifier(salt="m2")
+            ),
+        }
+    )
+    return detect_mentions(
+        _docs_as_pages(spark, sf_dir, limit=150), provider=provider
+    )
+
+
+@q(
     "kg_norm_code_reduce",
     _KG.norm_reduce_sql(_HGAZ, where="WHERE doc_id < 200"),
 )
@@ -1223,7 +1239,9 @@ def _j8_sql():
              ))) AS strings
       FROM vocab v
     )
-    SELECT c.code, p.parent_codes, p.strings
+    SELECT c.code,
+           to_json(p.parent_codes)::VARCHAR AS parent_codes_json,
+           to_json(p.strings)::VARCHAR AS strings_json
     FROM corpus c JOIN percode p USING (code)
     """
 
@@ -1232,8 +1250,11 @@ def _j8_sql():
 def j8_parent_expansion(spark, sf_dir):
     """J8 parent-code expansion (reference triplet_generation.py:71-96):
     corpus codes x hierarchy vocab -> parent codes + synonym strings;
-    the unknown code is dropped-and-counted (not_found), as the
-    reference's codigos_not_found counter."""
+    the unknown code is dropped-and-counted (not_found) as the
+    reference's codigos_not_found counter — that leg is asserted in
+    tests/test_hierarchy.py, not here (no extra action per invocation).
+    Array columns ship as JSON strings: the driver's canonicalizer
+    sorts raw cells and cannot hash Python lists (round-2 FAIL)."""
     from ..operators.hierarchy import expand_parent_codes
 
     vocab = spark.createDataFrame(
@@ -1244,9 +1265,12 @@ def j8_parent_expansion(spark, sf_dir):
         [(c,) for c, _, _ in _harness_vocab_rows()] + [("999999",)],
         "code string",
     )
-    expanded, not_found = expand_parent_codes(corpus, vocab)
-    assert not_found.count() == 1  # the planted unknown code
-    return expanded
+    expanded, _not_found = expand_parent_codes(corpus, vocab)
+    return expanded.select(
+        "code",
+        F.to_json("parent_codes").alias("parent_codes_json"),
+        F.to_json("strings").alias("strings_json"),
+    )
 
 
 @q(
@@ -1325,19 +1349,39 @@ def kg_triples_e2e(spark, sf_dir):
     )
 
 
-@q("kg_disambiguation", None)  # seeded RNG semantic; parity vs reference in pytest
+def _disamb_input():
+    """The fixed kg_disambiguation input: harness gazetteer + 3 planted
+    ambiguous codes."""
+    import pandas as pd
+
+    gaz = _harness_gazetteer()
+    amb = gaz.head(3).copy()
+    amb["code"] = [str(int(c) + 5000) for c in amb["code"]]
+    return pd.concat([gaz, amb])
+
+
+def _disamb_sql() -> str:
+    """Literal-VALUES oracle (round-2 verdict item 3 — was rows-only):
+    the input is fixed, so the expected (term, code) map is computed at
+    registration time by the driver-side `disambiguate_terms` — the
+    pure-pandas function that is itself parity-tested against the
+    reference's read_gazetteer_to_dict in tests/test_gazetteer.py. The
+    driver row then checks the DISTRIBUTED form (two-phase ordinal +
+    Arrow-batched seeded choice) against that reference semantic."""
+    from ..functions.gazetteer import disambiguate_terms
+
+    mapping = disambiguate_terms(_disamb_input())
+    vals = ",\n      ".join(
+        f"('{t}', '{c}')" for t, c in sorted(mapping.items())
+    )
+    return f"SELECT * FROM (VALUES\n      {vals}) AS t(term, code)"
+
+
+@q("kg_disambiguation", _disamb_sql())
 def kg_disambiguation(spark, sf_dir):
     from ..functions.gazetteer import disambiguate_terms_df
 
-    gaz = _harness_gazetteer()
-    # plant ambiguity deterministically
-    import pandas as pd
-
-    amb = gaz.head(3).copy()
-    amb["code"] = [str(int(c) + 5000) for c in amb["code"]]
-    return disambiguate_terms_df(
-        spark.createDataFrame(pd.concat([gaz, amb]))
-    )
+    return disambiguate_terms_df(spark.createDataFrame(_disamb_input()))
 
 
 # ---------------------------------------------------------------------------
@@ -1431,7 +1475,7 @@ def w4_ensemble_merge(spark, sf_dir):
     ),
     gold AS (
       SELECT l_orderkey,
-             [CAST(arg_min(l_suppkey, l_linenumber + l_suppkey * 0.001) AS VARCHAR)]
+             [CAST(arg_min(l_suppkey, l_linenumber::BIGINT * 1000000000 + l_suppkey) AS VARCHAR)]
                AS gold_codes
       FROM lineitem GROUP BY l_orderkey
     )
@@ -1458,7 +1502,8 @@ def eval_prf_at_k(spark, sf_dir):
         F.array(
             F.min_by(
                 F.col("l_suppkey").cast("string"),
-                F.col("l_linenumber") + F.col("l_suppkey") * 0.001,
+                F.col("l_linenumber").cast("long") * 1000000000
+                + F.col("l_suppkey"),
             )
         ).alias("gold_codes")
     )
@@ -1479,7 +1524,7 @@ def eval_prf_at_k(spark, sf_dir):
     WITH base AS (
       SELECT l_orderkey,
              (array_agg(DISTINCT l_suppkey ORDER BY l_suppkey)) AS codes,
-             [arg_min(l_suppkey, l_linenumber + l_suppkey * 0.001)] AS gold
+             [arg_min(l_suppkey, l_linenumber::BIGINT * 1000000000 + l_suppkey)] AS gold
       FROM lineitem GROUP BY l_orderkey
     ),
     m AS (
@@ -1503,7 +1548,8 @@ def a11_best_k(spark, sf_dir):
         F.array(
             F.min_by(
                 F.col("l_suppkey"),
-                F.col("l_linenumber") + F.col("l_suppkey") * 0.001,
+                F.col("l_linenumber").cast("long") * 1000000000
+                + F.col("l_suppkey"),
             )
         ).alias("gold"),
     )
@@ -1689,53 +1735,11 @@ _IOB_WORDS_SQL = """
 """
 
 
-@q(
-    "m3_iob_decode",
-    f"""
-    WITH words AS ({_IOB_WORDS_SQL}),
-    tagged AS (
-      SELECT *, SUM(CASE WHEN iob = 'B' THEN 1 ELSE 0 END)
-                  OVER (PARTITION BY url ORDER BY pos
-                        ROWS UNBOUNDED PRECEDING) AS grp
-      FROM words
-    ),
-    kept AS (
-      SELECT * FROM (
-        SELECT *, MIN(CASE WHEN iob = 'O' THEN pos END)
-                    OVER (PARTITION BY url, grp) AS first_o
-        FROM tagged
-      ) WHERE grp > 0 AND iob IN ('B','I')
-          AND (first_o IS NULL OR pos < first_o)
-    )
-    SELECT url, MIN(start) AS start, MAX("end") AS "end"
-    FROM kept GROUP BY url, grp
-    """,
-)
-def m3_iob_decode(spark, sf_dir):
-    """M3/W8: windowed IOB->span decode (post_process.py:449-490
-    semantics) over deterministic word-level tags synthesized from
-    lineitem; the scanner-form parity is tested in tests/test_iob.py."""
-    from ..operators.iob import decode_iob_spans
-
-    li = _t(spark, sf_dir, "lineitem")
-    # synthetic lineitem has duplicate (orderkey, linenumber) pairs:
-    # collapse deterministically to one word per position
-    q = F.min("l_quantity").cast("long")
-    words = li.groupBy("l_orderkey", "l_linenumber").agg(
-        F.when(q % 3 == 0, "B")
-        .when(q % 3 == 1, "I")
-        .otherwise("O")
-        .alias("iob")
-    ).select(
-        F.concat(F.lit("u"), F.col("l_orderkey").cast("string")).alias("url"),
-        F.col("l_linenumber").alias("pos"),
-        "iob",
-        (F.col("l_linenumber") * 10).alias("start"),
-        (F.col("l_linenumber") * 10 + 5).alias("end"),
-    )
-    return decode_iob_spans(words)
-
-
+# (the continuous standalone m3_iob_decode entry was retired in round 3:
+# its semantics are doubly driver-covered by w8_sessionize and the
+# kg_detect_mentions_iob chain; decode_iob_spans parity stays pytest-gated
+# in tests/test_iob.py. The discontinuous variant below has no other
+# driver coverage and keeps its entry.)
 @q(
     "m3_iob_decode_discontinuous",
     f"""
@@ -1789,29 +1793,10 @@ def m3_iob_decode_discontinuous(spark, sf_dir):
 
 
 @q(
-    "mm_media_meta",
-    """
-    SELECT doc_id, octet_length(encode(text)) AS n_bytes,
-           md5(text) AS payload_md5
-    FROM documents
-    """,
-)
-def mm_media_meta(spark, sf_dir):
-    from ..operators.multimodal import media_from_documents
-
-    d = _t(spark, sf_dir, "documents")
-    media = media_from_documents(d)
-    return media.select(
-        "doc_id",
-        F.length("media").alias("n_bytes"),
-        F.md5(F.decode("media", "utf-8")).alias("payload_md5"),
-    )
-
-
-@q(
     "mm_extract_features",
     """
     SELECT doc_id, octet_length(encode(text)) AS n_bytes,
+           md5(text) AS payload_md5,
            CAST(length(text) - length(replace(text, ' ', '')) AS BIGINT)
              AS space_count,
            CAST(octet_length(encode(text)) AS BIGINT) AS len_feat
@@ -1819,19 +1804,25 @@ def mm_media_meta(spark, sf_dir):
     """,
 )
 def mm_extract_features(spark, sf_dir):
-    """Binary decode plumbing through the fake decoder (16-bin high-nibble
-    byte histogram + length). Oracled integer-exactly: histogram bin 2
+    """Multimodal plumbing in one entry (round-2 verdict consolidation —
+    absorbs the former mm_media_meta): opaque-binary media column with
+    typed metadata (byte length + payload md5) joined with the feature
+    extraction through the fake decoder (16-bin high-nibble byte
+    histogram + length). Oracled integer-exactly: histogram bin 2
     (high-nibble 0x2) counts exactly the spaces in the ASCII harness
     payload, and the final feature is the byte length — un-normalizing the
     float32 ratio by n_bytes recovers the integer count (rel err 6e-8 * k
     << 0.5), so no float-boundary flakiness."""
     from ..operators.multimodal import extract_features, media_from_documents
 
-    d = _t(spark, sf_dir, "documents")
-    feats = extract_features(media_from_documents(d))
+    media = media_from_documents(_t(spark, sf_dir, "documents")).withColumn(
+        "payload_md5", F.md5(F.decode("media", "utf-8"))
+    )
+    feats = extract_features(media, passthrough=("payload_md5",))
     return feats.select(
         "doc_id",
         "n_bytes",
+        "payload_md5",
         F.round(F.element_at("features", 3).cast("double") * F.col("n_bytes"))
         .cast("long")
         .alias("space_count"),

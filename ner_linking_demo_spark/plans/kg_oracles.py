@@ -371,6 +371,7 @@ def iob_detect_sql(
     salts: tuple = ("",),
     strategy: str = "prod",
     converter: str = "prob_product",
+    label: str = "SPAN",
 ) -> str:
     """Oracle for the M2 token-classifier NER chain
     (operators/ner.TokenClassifierMentionProvider): reproduces the
@@ -481,7 +482,7 @@ def iob_detect_sql(
       ) WHERE grp > 0 AND iob IN ('B','I')
           AND (first_o IS NULL OR pos < first_o)
     )
-    SELECT url, 'SPAN' AS label, MIN(start) AS start, MAX("end") AS "end",
+    SELECT url, '{label}' AS label, MIN(start) AS start, MAX("end") AS "end",
            string_agg(w, ' ' ORDER BY pos) AS span
     FROM kept GROUP BY url, grp
     """
@@ -582,3 +583,19 @@ def norm_reduce_sql(gaz_pdf: pd.DataFrame, where: str = "") -> str:
     SELECT url, label, start, "end", span, code AS norm_code
     FROM pick WHERE rk = 1
     """
+
+
+def multitype_detect_sql(
+    where: str = "", types: tuple = (("disease", ""), ("procedure", "m2"))
+) -> str:
+    """Oracle for the multi-entity-type M2 composition (reference
+    `mentions_detection.py:216-286`): one iob_detect_sql chain per
+    (entity_type, weight-set salt), labels = upper-cased type, results
+    UNION ALL'd — the reference's sorted-per-type concat. Each chain is
+    a derived table with its own CTEs (DuckDB scopes WITH inside
+    subqueries)."""
+    legs = [
+        f"SELECT * FROM ({iob_detect_sql(where=where, salts=(salt,), label=etype.upper())})"
+        for etype, salt in sorted(types)
+    ]
+    return "\n    UNION ALL\n    ".join(legs)

@@ -23,13 +23,15 @@ from pyspark.sql import functions as F
 
 
 def read_ann_lines(spark: SparkSession, path_glob: str) -> DataFrame:
-    """.ann files -> (doc_id, line) rows; doc_id = basename sans .ann
-    (reference `load_data.py:92,133,161`)."""
+    """.ann files -> (doc_id, line) rows; doc_id = basename segment
+    before the FIRST dot, matching the reference's
+    ``basename.split('.')[0]`` (`load_data.py:92,133,161`) — so
+    'a.b.ann' yields 'a', not 'a.b'."""
     return (
         spark.read.text(path_glob)
         .withColumn(
             "doc_id",
-            F.regexp_extract(F.input_file_name(), r"([^/]+)\.ann", 1),
+            F.regexp_extract(F.input_file_name(), r"([^/.]+)[^/]*\.ann$", 1),
         )
         .where(F.trim("value") != "")
         .select("doc_id", F.col("value").alias("line"))

@@ -14,21 +14,47 @@ skips, and a crash between write and rename leaves only staging garbage
 that the retry overwrites. No ordering window exists between "data
 visible" and "batch recorded" because they are the same rename.
 
-Caveats (documented, not hidden): the rename is atomic on POSIX and HDFS;
-on S3-like stores use a committer or read-side dedupe on the embedded
-``batch_id`` partition column, which is written into the layout for
-exactly that purpose. Single-driver assumption as with the checkpoint
-catalog (plans/catalog.py).
+Caveats (documented, not hidden): the rename is atomic on POSIX and HDFS
+— and it now actually runs through the Hadoop FileSystem API resolved
+from ``out_dir``'s scheme (round-2 advice: the old ``os.replace`` /
+``os.path.exists`` silently operated on nonexistent LOCAL paths when
+``out_dir`` was ``hdfs://``/``s3a://``, so batches were never published).
+On S3-like stores rename is copy+delete (not atomic): use a committer or
+read-side dedupe on the embedded ``batch_id`` partition column, which is
+written into the layout for exactly that purpose. Single-driver
+assumption as with the checkpoint catalog (plans/catalog.py).
 """
 
 from __future__ import annotations
-
-import os
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 
 from ..plans.pipeline import run_pipeline
+
+
+class _HadoopFS:
+    """Thin wrapper over ``org.apache.hadoop.fs.FileSystem`` resolved
+    from the path's scheme — exists/rename/mkdirs work uniformly for
+    file://, hdfs://, s3a://... (driver-side control-plane calls only;
+    data still moves through Spark writers)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        jvm = spark._jvm
+        self._Path = jvm.org.apache.hadoop.fs.Path
+        self._fs = self._Path(root).getFileSystem(
+            spark._jsc.hadoopConfiguration()
+        )
+
+    def exists(self, path: str) -> bool:
+        return self._fs.exists(self._Path(path))
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._Path(path))
+
+    def rename(self, src: str, dst: str) -> None:
+        if not self._fs.rename(self._Path(src), self._Path(dst)):
+            raise IOError(f"publish rename failed: {src} -> {dst}")
 
 
 def incremental_pipeline(
@@ -47,20 +73,22 @@ def incremental_pipeline(
     ``trigger_once=True`` (availableNow) drains what's there and stops —
     the batch-job-with-streaming-bookkeeping mode; ``False`` runs
     continuously."""
-    triples_root = os.path.join(out_dir, "triples")
-    staging_root = os.path.join(out_dir, "_staging")
-    os.makedirs(triples_root, exist_ok=True)
-    os.makedirs(staging_root, exist_ok=True)
+    root = out_dir.rstrip("/")
+    triples_root = f"{root}/triples"
+    staging_root = f"{root}/_staging"
+    fs = _HadoopFS(spark, root)
+    fs.mkdirs(triples_root)
+    fs.mkdirs(staging_root)
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        final = os.path.join(triples_root, f"batch_id={batch_id}")
-        if os.path.exists(final):
+        final = f"{triples_root}/batch_id={batch_id}"
+        if fs.exists(final):
             return  # replayed micro-batch: already published atomically
         res = run_pipeline(spark, batch_df, gazetteer_pdf, k=k)
-        staging = os.path.join(staging_root, f"batch-{batch_id}")
+        staging = f"{staging_root}/batch-{batch_id}"
         # overwrite: a crashed earlier attempt may have left partial staging
         res.triples.write.mode("overwrite").parquet(staging)
-        os.replace(staging, final)  # single atomic publish == commit record
+        fs.rename(staging, final)  # single atomic publish == commit record
 
     writer = (
         pages_stream.writeStream.foreachBatch(process)

@@ -1,0 +1,168 @@
+"""Round-3 additions: multitype NER composition, norm_reduce guards,
+BRAT dotted-filename doc_ids, selfcheck canonicalizer strictness, and
+the j8 entry's planted unknown code (assert moved out of the query body
+per the round-2 verdict)."""
+
+import pandas as pd
+import pytest
+
+from ner_linking_demo_spark.operators.ner import (
+    MultiTypeMentionProvider,
+    TokenClassifierMentionProvider,
+    detect_mentions,
+)
+
+
+class _FixedProvider:
+    def __init__(self, mentions):
+        self.mentions = mentions
+
+    def find_mentions(self, text):
+        return list(self.mentions)
+
+
+def test_multitype_concat_and_sort():
+    p1 = _FixedProvider([("X", 5, 8, "abc"), ("X", 0, 2, "ab")])
+    p2 = _FixedProvider([("X", 0, 2, "ab")])
+    mt = MultiTypeMentionProvider({"disease": p1, "procedure": p2})
+    out = mt.find_mentions("irrelevant")
+    # labels overridden by entity type; sorted by (start, end, label);
+    # same (start, end) under DIFFERENT types is legal (reference keys
+    # the dedup assert on (start, end, label))
+    assert out == [
+        ("disease", 0, 2, "ab"),
+        ("procedure", 0, 2, "ab"),
+        ("disease", 5, 8, "abc"),
+    ]
+
+
+def test_multitype_duplicate_assert():
+    dup = _FixedProvider([("X", 0, 2, "ab"), ("X", 0, 2, "ab")])
+    mt = MultiTypeMentionProvider({"disease": dup})
+    with pytest.raises(ValueError, match="duplicate"):
+        mt.find_mentions("x")
+
+
+def test_multitype_matches_per_type_runs(spark):
+    """The one-UDF multitype pass == running each type's provider
+    separately and concatenating (the reference's per-type loop)."""
+    from ner_linking_demo_spark.functions.token_classifier import (
+        HashTokenClassifier,
+    )
+
+    pages = spark.createDataFrame(
+        [("u1", "alpha beta gamma delta epsilon"), ("u2", "zeta eta theta")],
+        "url string, text string",
+    )
+    pa = TokenClassifierMentionProvider()
+    pb = TokenClassifierMentionProvider(
+        classifier=HashTokenClassifier(salt="m2")
+    )
+    mt = detect_mentions(
+        pages,
+        provider=MultiTypeMentionProvider({"disease": pa, "procedure": pb}),
+    )
+    sep_a = detect_mentions(pages, provider=pa).collect()
+    sep_b = detect_mentions(pages, provider=pb).collect()
+    expected = sorted(
+        [(r.url, "DISEASE", r.start, r.end, r.span) for r in sep_a]
+        + [(r.url, "PROCEDURE", r.start, r.end, r.span) for r in sep_b]
+    )
+    got = sorted(
+        (r.url, r.label, r.start, r.end, r.span) for r in mt.collect()
+    )
+    assert got == expected
+    assert {r[1] for r in got} == {"DISEASE", "PROCEDURE"}
+
+
+def test_norm_reduce_unknown_label_null(spark):
+    from ner_linking_demo_spark.operators.norm_reduce import normalize_mentions
+
+    gaz = pd.DataFrame(
+        {
+            "label": ["disease"],
+            "code": ["1"],
+            "term": ["flu"],
+            "semantic_tag": ["disease"],
+            "mainterm": [True],
+            "language": ["en"],
+        }
+    )
+    mentions = spark.createDataFrame(
+        [("u", "SPAN", 0, 3, "flu"), ("u", "DISEASE", 4, 7, "flu")],
+        "url string, label string, start int, end int, span string",
+    )
+    rows = {r.label: r.norm_code for r in normalize_mentions(mentions, gaz).collect()}
+    assert rows["SPAN"] is None  # unknown label -> null code, no KeyError
+    assert rows["DISEASE"] == "1"
+
+
+def test_norm_reduce_duplicate_codes_deduped(spark):
+    """Multi-synonym gazetteers repeat codes; the vocabulary must hold
+    each code once (else prod/sum double-count it)."""
+    from ner_linking_demo_spark.operators.norm_reduce import (
+        normalize_mentions,
+        reduce_mention_code,
+    )
+
+    gaz = pd.DataFrame(
+        {
+            "label": ["disease"] * 3,
+            "code": ["7", "9", "7"],  # code 7 has two synonyms
+            "term": ["flu", "cold", "influenza"],
+            "semantic_tag": ["disease"] * 3,
+            "mainterm": [True] * 3,
+            "language": ["en"] * 3,
+        }
+    )
+    mentions = spark.createDataFrame(
+        [("u", "DISEASE", 0, 3, "flu bad")],
+        "url string, label string, start int, end int, span string",
+    )
+    got = normalize_mentions(mentions, gaz).collect()[0].norm_code
+    assert got == reduce_mention_code(["flu", "bad"], ["7", "9"], "prod")
+
+
+def test_brat_dotted_filename_docid(spark, tmp_path):
+    """doc_id = basename before the FIRST dot (reference
+    basename.split('.')[0]): 'a.b.ann' -> 'a'."""
+    from ner_linking_demo_spark.sources.brat import read_ann_lines
+
+    f = tmp_path / "a.b.ann"
+    f.write_text("T1\tDISEASE 0 3\tflu\n")
+    rows = read_ann_lines(spark, str(tmp_path / "*.ann")).collect()
+    assert [r.doc_id for r in rows] == ["a"]
+
+
+def test_selfcheck_rejects_container_cells():
+    """A raw array column must FAIL selfcheck locally (the driver's
+    canonicalizer cannot sort list cells — round-2 j8 regression)."""
+    import sys, os
+
+    sys.path.insert(
+        0, os.path.join(os.path.dirname(os.path.dirname(__file__)), "tools")
+    )
+    from selfcheck import value_hash
+
+    ok = pd.DataFrame({"a": [1, 2], "b": ["x", "y"]})
+    assert value_hash(ok) == value_hash(ok.iloc[::-1])  # order-insensitive
+    bad = pd.DataFrame({"a": [[1, 2], [3]]})
+    with pytest.raises(TypeError, match="container"):
+        value_hash(bad)
+
+
+def test_j8_entry_unknown_code_counted(spark):
+    """The j8 entry's planted unknown corpus code lands in not_found
+    (was an assert inside the query body — an extra action per run)."""
+    from ner_linking_demo_spark.operators.hierarchy import expand_parent_codes
+    from ner_linking_demo_spark.plans.entry_queries import _harness_vocab_rows
+
+    vocab = spark.createDataFrame(
+        _harness_vocab_rows(), "code string, term string, parents array<string>"
+    )
+    corpus = spark.createDataFrame(
+        [(c,) for c, _, _ in _harness_vocab_rows()] + [("999999",)],
+        "code string",
+    )
+    _expanded, not_found = expand_parent_codes(corpus, vocab)
+    assert [r.code for r in not_found.collect()] == ["999999"]

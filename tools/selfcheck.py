@@ -22,14 +22,26 @@ TABLES = [
 
 
 def value_hash(df: pd.DataFrame) -> str:
+    """Mirror of the driver's canonicalizer. The driver sort_values-es
+    RAW columns before hashing, so a list/array/dict cell is an ERROR
+    there (unhashable/unsortable) — raise the same way instead of
+    silently stringifying (round-2 verdict item 4: the old stringify
+    masked j8_parent_expansion's driver failure). Queries must serialize
+    container columns themselves (to_json / concat_ws)."""
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         col = df[c]
         if col.dtype == object:
-            df[c] = col.map(
-                lambda v: str(sorted(v) if isinstance(v, set) else
-                              list(v) if hasattr(v, "__len__") and not isinstance(v, str) else v)
+            bad = col.map(
+                lambda v: hasattr(v, "__len__") and not isinstance(v, str)
             )
+            if bad.any():
+                raise TypeError(
+                    f"column {c!r} holds container cells (list/array/...); "
+                    "the driver's canonicalizer cannot sort these — "
+                    "serialize with to_json()/concat_ws() in the query"
+                )
+            df[c] = col.map(str)
         elif str(col.dtype).startswith("float"):
             df[c] = col.round(9).map(lambda v: f"{v:.9f}")
         else:
@@ -81,8 +93,13 @@ def main() -> int:
             continue
         ok_rows = len(spark_df) == len(duck_df)
         ok_cols = sorted(spark_df.columns) == sorted(duck_df.columns)
-        h_s = value_hash(spark_df)
-        h_d = value_hash(duck_df)
+        try:
+            h_s = value_hash(spark_df)
+            h_d = value_hash(duck_df)
+        except TypeError as ex:
+            failures.append(name)
+            print(f"FAIL {name}: canonicalizer error {ex}")
+            continue
         ok_vals = h_s == h_d
         status = "PASS" if (ok_rows and ok_cols and ok_vals) else "FAIL"
         if status == "FAIL":
