@@ -123,7 +123,6 @@ def main() -> None:
             "w8_sessionize",
             "dedup_exact",
             "dedup_minhash_lsh",
-            "dedup_simhash",
             "ann_bruteforce_topk",
             "ann_join_topk",
             "kg_detect_mentions_iob",
@@ -138,20 +137,42 @@ def main() -> None:
                 )
             )
 
-        # the corpus-scale explode+partial-agg SimHash form, measured next
-        # to the expression form (round-2 verdict: decide the benched
-        # default from a noise-controlled comparison)
+        # both SimHash forms, measured side by side (round-2 verdict:
+        # decide the benched default from a noise-controlled comparison;
+        # the expression-form registry entry was retired in round 3, so
+        # both run as direct operator thunks here)
+        from pyspark.sql import functions as FS
+
         from ner_linking_demo_spark.operators import dedup as DD
 
-        def run_simhash_sig():
-            d = (
+        def _simhash_docs():
+            return (
                 spark.read.parquet(f"{sf_dir}/documents.parquet")
                 .filter("doc_id < 200")
                 .select("doc_id", "text")
             )
-            _materialize(DD.simhash_signatures_df(d, prefix_bits=32))
 
-        benches.append(("dedup_simhash_sig", run_simhash_sig))
+        benches.append(
+            (
+                "dedup_simhash",
+                lambda: _materialize(
+                    _simhash_docs().select(
+                        "doc_id",
+                        DD.simhash64(FS.col("text"), prefix_bits=32).alias(
+                            "simhash"
+                        ),
+                    )
+                ),
+            )
+        )
+        benches.append(
+            (
+                "dedup_simhash_sig",
+                lambda: _materialize(
+                    DD.simhash_signatures_df(_simhash_docs(), prefix_bits=32)
+                ),
+            )
+        )
 
     # --- interleaved rounds, median per benchmark ------------------------
     samples: dict[str, list[float]] = {name: [] for name, _ in benches}

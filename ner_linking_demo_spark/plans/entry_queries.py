@@ -601,26 +601,13 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
 
 
-@q(
-    "dedup_simhash",
-    """
-    SELECT doc_id,
-           CAST(list_sum(list_transform(generate_series(0, 31), b ->
-             CASE WHEN list_sum(list_transform(toks, t ->
-               CASE WHEN ((('0x' || substr(md5(t),1,8))::BIGINT >> b) & 1) = 1
-                    THEN 1 ELSE -1 END)) > 0
-             THEN 1::BIGINT << b ELSE 0 END)) AS BIGINT) AS simhash
-    FROM (
-      SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks
-      FROM documents WHERE doc_id < 200
-    )
-    """,
-)
-def dedup_simhash(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents").filter("doc_id < 200")
-    return d.select(
-        "doc_id", DD.simhash64(F.col("text"), prefix_bits=32).alias("simhash")
-    )
+# (the standalone dedup_simhash signature entry was retired in round 3
+# to free a driver-window slot for m8_token_ce_loss: dedup_simhash_pairs
+# drives simhash_signatures_df end-to-end — its bands and popcount
+# verification are direct functions of the signature values — and the
+# simhash64 expression form's parity with signatures_df stays
+# pytest-gated in tests/test_dedup.py; both forms remain benched in
+# bench.py.)
 
 
 @q(
@@ -1566,6 +1553,25 @@ def a11_best_k(spark, sf_dir):
     )
     best = best_k_by_recall(metrics)
     return metrics.filter(F.col("k") == F.lit(best))
+
+
+@q(
+    "m8_token_ce_loss",
+    _KG.token_ce_loss_sql(_HGAZ, where="WHERE doc_id < 200"),
+)
+def m8_token_ce_loss(spark, sf_dir):
+    """M8 masked token-classification loss (reference tf/loss.py:4-74,
+    the LAST previously-out-of-scope item) as a corpus-scale
+    distant-supervision loss evaluation: gazetteer-derived gold IOB per
+    word, first-subtoken labeling with ignore_val=-100 continuations
+    (mentions_detection.py:25), -ln(softmax[gold]) per unmasked
+    position, plain and weak/strong sample-weighted mean reductions —
+    per-doc partial sums in one Arrow pass, one global agg."""
+    from ..operators.loss import token_ce_loss
+
+    return token_ce_loss(
+        _docs_as_pages(spark, sf_dir, limit=200), _harness_gazetteer()
+    )
 
 
 @q(

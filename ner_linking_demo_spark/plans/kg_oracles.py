@@ -599,3 +599,60 @@ def multitype_detect_sql(
         for etype, salt in sorted(types)
     ]
     return "\n    UNION ALL\n    ".join(legs)
+
+
+def token_ce_loss_sql(
+    gaz_pdf: pd.DataFrame,
+    where: str = "",
+    sub_width: int = 4,
+    salt: str = "",
+    label: str = "DISEASE",
+    weak_label: str = "I",
+    weak_weight: float = 1.0,
+    strong_weight: float = 2.0,
+) -> str:
+    """Oracle for the M8 masked token-classification loss
+    (operators/loss.token_ce_loss; reference tf/loss.py:4-74): gold =
+    distant-supervision B/I/O from the gazetteer mentions join (same
+    scanner-equals-join precondition as detect_mentions_sql), the masked
+    position set = exactly each word's FIRST subtoken piece
+    (continuations are ignore_val in the engine and simply never
+    generated here), per-position -ln(softmax(md5 logits)[gold]), AVG
+    and weight-scaled AVG reductions."""
+    w = sub_width
+
+    def lg(lab: str) -> str:
+        return (
+            f"(('0x' || substr(md5('{salt}' || substr(w, 1, {w}) "
+            f"|| '|{lab}'), 1, 8))::BIGINT / 4294967295.0)"
+        )
+
+    den = " + ".join(f"exp({lg(c)})" for c in ("B", "I", "O"))
+
+    def nlp(lab: str) -> str:
+        return f"-ln(exp({lg(lab)}) / ({den}))"
+
+    return f"""
+    WITH {_mentions_ctes(gaz_pdf, where)},
+    dm AS (SELECT * FROM mentions WHERE label = '{label}'),
+    gold AS (
+      SELECT o.w AS w,
+             CASE WHEN m.start IS NULL THEN 'O'
+                  WHEN o.start = m.start THEN 'B' ELSE 'I' END AS g
+      FROM otok o LEFT JOIN dm m
+        ON o.url = m.url AND o.start >= m.start
+       AND o.start + CAST(length(o.w) AS INT) <= m."end"
+    ),
+    ce AS (
+      SELECT CASE g WHEN 'B' THEN {nlp("B")}
+                    WHEN 'I' THEN {nlp("I")}
+                    ELSE {nlp("O")} END AS ce,
+             CASE WHEN g = '{weak_label}' THEN {weak_weight}
+                  ELSE {strong_weight} END AS wt
+      FROM gold
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_active,
+           ROUND(AVG(ce), 6) AS mean_ce,
+           ROUND(AVG(ce * wt), 6) AS weighted_mean_ce
+    FROM ce
+    """

@@ -166,3 +166,78 @@ def test_j8_entry_unknown_code_counted(spark):
     )
     _expanded, not_found = expand_parent_codes(corpus, vocab)
     assert [r.code for r in not_found.collect()] == ["999999"]
+
+
+def test_token_ce_loss_matches_naive(spark):
+    """Engine M8 loss == a naive per-word recomputation that never
+    builds the masked piece-grain arrays (independent composition)."""
+    import math
+
+    from ner_linking_demo_spark.functions.fragments import surrogate_subtokenize
+    from ner_linking_demo_spark.functions.matcher import DictionaryMatcher
+    from ner_linking_demo_spark.functions.token_classifier import (
+        HashTokenClassifier,
+    )
+    from ner_linking_demo_spark.functions.tokenization import words_with_offsets
+    from ner_linking_demo_spark.operators.loss import token_ce_loss
+
+    gaz = pd.DataFrame(
+        {
+            "label": ["disease"] * 2,
+            "code": ["1", "2"],
+            "term": ["hash join", "spill"],
+            "semantic_tag": ["disease"] * 2,
+            "mainterm": [True] * 2,
+            "language": ["en"] * 2,
+        }
+    )
+    texts = [
+        "the hash join caused a spill on disk",
+        "no entities here at all",
+        "hash join hash join spill",
+    ]
+    pages = spark.createDataFrame(
+        [(f"u{i}", t) for i, t in enumerate(texts)], "url string, text string"
+    )
+    row = token_ce_loss(pages, gaz).collect()[0]
+
+    clf = HashTokenClassifier()
+    matcher = DictionaryMatcher({"disease": ["hash join", "spill"]})
+    n, sce, swce = 0, 0.0, 0.0
+    for t in texts:
+        words = words_with_offsets(t)
+        covered = {}
+        for _l, s, e, _t in matcher.find_mentions(t):
+            for i, (_w, ws, we) in enumerate(words):
+                if ws >= s and we <= e:
+                    covered[i] = 0 if ws == s else 1
+        for i, (w, _s, _e) in enumerate(words):
+            g = covered.get(i, 2)
+            # naive: first piece only, no mask arrays
+            p = clf.piece_probs(surrogate_subtokenize(w)[0])
+            ce = -math.log(p[g])
+            n += 1
+            sce += ce
+            swce += ce * (1.0 if g == 1 else 2.0)
+    assert row.n_active == n
+    assert abs(row.mean_ce - round(sce / n, 6)) < 1e-9
+    assert abs(row.weighted_mean_ce - round(swce / n, 6)) < 1e-9
+
+
+def test_token_ce_loss_masks_continuations():
+    """Continuation pieces carry ignore_val and contribute nothing —
+    the reference's boolean_mask semantics (tf/loss.py:24-31)."""
+    from ner_linking_demo_spark.functions.fragments import surrogate_subtokenize
+    from ner_linking_demo_spark.functions.matcher import DictionaryMatcher
+    from ner_linking_demo_spark.functions.token_classifier import (
+        HashTokenClassifier,
+    )
+    from ner_linking_demo_spark.operators.loss import masked_ce_partials
+
+    matcher = DictionaryMatcher({"disease": []})
+    clf = HashTokenClassifier()
+    # 'extraordinarily' -> 4 pieces, only the first is active
+    n, _s, _w = masked_ce_partials(
+        ["extraordinarily long"], matcher, clf, surrogate_subtokenize
+    )
+    assert n == 2  # one active position per WORD, not per piece

@@ -167,6 +167,34 @@ def main() -> int:
         "ann_join bucket equi-join", "SortMergeJoin" in p or "HashJoin" in p
     )
 
+    # round 3: consolidated + new entries keep their shapes
+    p = plan_of(EQ.text_analysis(spark, sf_dir))
+    failures += not check(
+        "text_analysis single scan, no exchange",
+        nodes(p, "Scan parquet") == 1 and nodes(p, "Exchange") == 0,
+    )
+    failures += not check(
+        "text_analysis stays JVM-side",
+        nodes(p, "MapInPandas") + nodes(p, "BatchEvalPython") == 0,
+    )
+    p = plan_of(EQ.mm_extract_features(spark, sf_dir))
+    failures += not check(
+        "mm passthrough: one scan, no self-join",
+        nodes(p, "Scan parquet") == 1
+        and "Join" not in p
+        and nodes(p, "MapInPandas") == 1,
+    )
+    p = plan_of(EQ.m8_token_ce_loss(spark, sf_dir))
+    failures += not check(
+        "m8 loss: partial agg, single pandas pass",
+        nodes(p, "MapInPandas") == 1 and "HashAggregate" in p,
+    )
+    p = plan_of(EQ.kg_detect_mentions_multitype(spark, sf_dir))
+    failures += not check(
+        "multitype NER: one UDF pass for N types",
+        nodes(p, "MapInPandas") == 1 and nodes(p, "Scan parquet") == 1,
+    )
+
     print(f"\n{failures} failures")
     spark.stop()
     return 1 if failures else 0
