@@ -86,9 +86,10 @@ def lsh_bucket_udf(planes: np.ndarray):
     exactly 0 (never observed on real embeddings; parity-tested).
 
     Use for wide embeddings / many planes (the expression form's
-    interpreted cost is planes x dim per row); the expression form stays
-    the default because it is whole-plan JVM-side and exactly matches
-    the SQL oracle's arithmetic."""
+    interpreted cost is planes x dim per row); ``method='auto'`` picks
+    between the two by that cost, and the harness-oracle entries land on
+    the expression form (whole-plan JVM-side, exactly the SQL oracle's
+    arithmetic)."""
     pt = planes.astype(np.float64).T
     weights = (1 << np.arange(planes.shape[0])).astype(np.int64)
 
@@ -102,7 +103,20 @@ def lsh_bucket_udf(planes: np.ndarray):
     return bucket
 
 
+# per-row interpreted cost of the expression form is n_planes x dim
+# higher-order ops; past this budget the one-matmul-per-batch Arrow UDF
+# wins despite the Python roundtrip (measured: dim 64 x 8 planes = 512
+# is comfortably expression territory; dim 512+ embeddings are not)
+_AUTO_EXPR_BUDGET = 2048
+
+
 def _bucket_col(emb: F.Column, planes: np.ndarray, method: str) -> F.Column:
+    if method == "auto":
+        method = (
+            "expr"
+            if planes.shape[0] * planes.shape[1] <= _AUTO_EXPR_BUDGET
+            else "pandas"
+        )
     if method == "expr":
         return lsh_bucket_expr(emb, planes)
     if method == "pandas":
@@ -114,11 +128,12 @@ def lsh_index(
     df: DataFrame,
     planes: np.ndarray,
     emb_col: str = "embedding",
-    method: str = "expr",
+    method: str = "auto",
 ) -> DataFrame:
     """Materialize bucket ids (persist/bucket-write this at scale so query
-    jobs prune to matching buckets only). ``method='pandas'`` switches to
-    the Arrow-batched matmul for wide embeddings."""
+    jobs prune to matching buckets only). ``method='auto'`` (default) picks the
+    expression form while n_planes x dim fits the interpreted budget and
+    the Arrow-batched matmul for wide embeddings; both are forceable."""
     return df.withColumn(
         "bucket",
         _bucket_col(F.col(emb_col).cast("array<double>"), planes, method),
@@ -152,7 +167,7 @@ def ann_join(
     id_col: str = "vec_id",
     query_id_col: str = "q_id",
     broadcast_queries: bool = False,
-    bucket_method: str = "expr",
+    bucket_method: str = "auto",
 ) -> DataFrame:
     """Batch ANN join: query DF x indexed corpus -> top-k per query.
 

@@ -241,3 +241,28 @@ def test_token_ce_loss_masks_continuations():
         ["extraordinarily long"], matcher, clf, surrogate_subtokenize
     )
     assert n == 2  # one active position per WORD, not per piece
+
+
+def test_lsh_bucket_auto_method(spark):
+    """method='auto' picks expr within the interpreted budget and the
+    Arrow matmul beyond it; both agree on bucket values."""
+    import numpy as np
+
+    from ner_linking_demo_spark.operators import similarity as SIM
+
+    rows = [(i, [float((i * 31 + j * 7) % 19 - 9) for j in range(8)])
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    planes_small = SIM.hyperplanes(dim=8, n_planes=8)      # 64 <= budget
+    planes_wide = SIM.hyperplanes(dim=8, n_planes=512)     # 4096 > budget
+    auto_small = SIM.lsh_index(df, planes_small)  # default method='auto'
+    assert "MapInPandas" not in auto_small._jdf.queryExecution().toString() \
+        and "ArrowEvalPython" not in auto_small._jdf.queryExecution().toString()
+    auto_wide = SIM.lsh_index(df, planes_wide)
+    assert "ArrowEvalPython" in auto_wide._jdf.queryExecution().toString() \
+        or "BatchEvalPython" in auto_wide._jdf.queryExecution().toString()
+    # value parity on the small planes: expr == pandas == auto
+    a = {r.vec_id: r.bucket for r in auto_small.collect()}
+    b = {r.vec_id: r.bucket
+         for r in SIM.lsh_index(df, planes_small, method="pandas").collect()}
+    assert a == b
