@@ -104,8 +104,25 @@ class CheckpointCatalog:
                 )
             os.replace(tmp, self._latest_path(table))  # atomic publish
 
-        # lineage counters from the published snapshot
-        if partition_lineage:
+        # lineage counters from the published snapshot. Parquet path:
+        # read the row counts out of the file FOOTERS (one output file per
+        # write task = per-partition counts) — metadata-only, no Spark job.
+        # The previous groupBy(spark_partition_id).count() re-scanned every
+        # snapshot once per stage: an O(stage bytes) lineage tax that a
+        # 100 TB run cannot pay.
+        if partition_lineage and self.fmt != "iceberg":
+            import pyarrow.parquet as pq
+
+            files = sorted(
+                fn for fn in os.listdir(path)
+                if fn.endswith(".parquet") and not fn.startswith("_")
+            )
+            part_counts = {
+                i: pq.ParquetFile(f"{path}/{fn}").metadata.num_rows
+                for i, fn in enumerate(files)
+            }
+            rows_out = sum(part_counts.values())
+        elif partition_lineage:
             per_part = (
                 out.groupBy(F.spark_partition_id().alias("pid"))
                 .count()

@@ -861,6 +861,11 @@ def ann_join_topk(spark, sf_dir):
         planes,
         k=10,
         probe_bits=1,
+        # 10 queries = a dimension-sized batch: broadcast them and the
+        # corpus never shuffles (zero-exchange scan->join->window); the
+        # corpus-shuffle shape for query sets too big to broadcast stays
+        # plan-audited in tools/explain_audit.py
+        broadcast_queries=True,
     )
     return out.select(
         "q_id", "vec_id", "rank", F.round("cosine", 6).alias("cosine_r")
