@@ -4,31 +4,59 @@ counters so a killed run resumes without recomputation").
 
 Two backends behind one API:
 - **Iceberg** (``table_format='iceberg'``): uses ``df.writeTo(ns.table)``
-  createOrReplace / append — snapshots, atomic replace and time travel come
-  from the format. Requires the Iceberg Spark runtime on the classpath
-  (see session.get_spark); this sandbox image does not ship it.
-- **Parquet snapshots** (default): each write lands in
-  ``<base>/<table>/snap-<n>/`` followed by an atomic pointer-file update
-  (``<base>/<table>/LATEST``). Readers resolve LATEST -> snapshot dir; a
-  killed writer leaves a dangling snap dir, never a corrupt table —
-  the same write-once/atomic-publish discipline Iceberg gives
-  (SURVEY.md §7 hard-part e: idempotent stage outputs under retries).
+  createOrReplace — snapshots, atomic replace and time travel come from
+  the format. Requires the Iceberg Spark runtime on the classpath (see
+  session.get_spark); this sandbox image does not ship it.
+- **Parquet snapshots** (default): rename-commit protocol. Each write
+  lands in ``<base>/_staging/<table>/snap-<n>``, gets a ``_META.json``
+  (input signature, seq), and is published with ONE atomic directory
+  rename to ``<base>/<table>/snap-<n>`` — the published directory IS the
+  commit record, exactly the protocol streaming/incremental.py uses for
+  micro-batches. Readers resolve the highest ``snap-<n>`` that carries a
+  ``_META.json``. A killed writer leaves only staging garbage; there is
+  no pointer file to flip and therefore no window where data is visible
+  but unpublished (SURVEY.md §7 hard-part e). Directory rename is atomic
+  on POSIX and HDFS; on S3-like stores it is copy+delete — use a
+  committer there, or Iceberg, which exists for exactly that reason.
+
+All control-plane I/O goes through ``plans.fs.catalog_fs`` so a
+``hdfs://``/``s3a://``/``file://`` ``base_dir`` behaves identically to a
+local one (round-2 advice generalized from the streaming publisher).
 
 Lineage: every ``write`` appends a row to ``<base>/_lineage`` (stage,
 snapshot, rows_out, n_partitions, per-partition row counts, wall_ms,
-input signature). ``resume``: a stage whose (table, input signature)
-already has a published snapshot is skipped and its output is read back —
-kill/rerun does not recompute (tested in tests/test_resume.py).
+input signature). Counters are free: ``rows_out`` comes from a
+``CollectMetrics`` observation attached to the write job itself, and
+per-partition rows come from the written parquet FOOTERS (metadata-only,
+one output file per write task) — no second job re-scanning the
+snapshot, an O(stage bytes) lineage tax a 100 TB run cannot pay. On
+roots where footers aren't locally readable (hdfs/s3a) the per-partition
+column degrades to per-file BYTES from a directory listing, still
+metadata-only.
+
+``resume``: a stage whose (table, input signature) already has a
+published snapshot is skipped and its output is read back — kill/rerun
+does not recompute (tested in tests/test_resume.py).
+
+Maintenance (the 10^12-doc housekeeping Iceberg tables get from
+``expireSnapshots`` / ``rewriteDataFiles``): ``expire_snapshots`` drops
+all but the last K published snapshots of a table plus staging garbage;
+``compact`` rewrites the latest snapshot at a target file size so
+downstream scans see full-sized splits instead of small-file dust.
 """
 
 from __future__ import annotations
 
 import json
-import os
+import re
 import time
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
+
+from .fs import catalog_fs
+
+_SNAP_RE = re.compile(r"snap-(\d+)$")
 
 
 class CheckpointCatalog:
@@ -43,21 +71,36 @@ class CheckpointCatalog:
         self.base = base_dir.rstrip("/")
         self.fmt = table_format
         self.ns = namespace
-        os.makedirs(self.base, exist_ok=True)
+        self.fs = catalog_fs(spark, self.base)
+        self.fs.mkdirs(self.base)
 
     # -- snapshot plumbing (parquet backend) --------------------------------
     def _tdir(self, table: str) -> str:
         return f"{self.base}/{table}"
 
-    def _latest_path(self, table: str) -> str:
-        return f"{self._tdir(table)}/LATEST"
+    def _snapshots(self, table: str) -> list[tuple[int, str]]:
+        """Published snapshots of ``table`` as sorted (seq, dirname).
+        Only directories carrying ``_META.json`` count — anything else
+        (partially copied dirs on non-atomic-rename stores, stray files)
+        is invisible to readers."""
+        tdir = self._tdir(table)
+        out = []
+        for name in self.fs.list_names(tdir):
+            m = _SNAP_RE.fullmatch(name)
+            if m and self.fs.exists(f"{tdir}/{name}/_META.json"):
+                out.append((int(m.group(1)), name))
+        return sorted(out)
 
     def _read_pointer(self, table: str) -> dict | None:
-        p = self._latest_path(table)
-        if not os.path.exists(p):
+        snaps = self._snapshots(table)
+        if not snaps:
             return None
-        with open(p) as f:
-            return json.load(f)
+        seq, name = snaps[-1]
+        meta = json.loads(
+            self.fs.read_text(f"{self._tdir(table)}/{name}/_META.json")
+        )
+        return {"snapshot": name, "seq": seq,
+                "input_sig": meta.get("input_sig")}
 
     def exists(self, table: str, input_sig: str | None = None) -> bool:
         ptr = self._read_pointer(table)
@@ -83,9 +126,15 @@ class CheckpointCatalog:
     ) -> DataFrame:
         """Materialize ``df`` as the new published snapshot of ``table``;
         returns the re-read DataFrame (truncated lineage). Counters are
-        collected from the written files, not a second job over the input.
+        collected from the write job and the written files, never a
+        second job over the data.
         """
         t0 = time.time()
+        # rows_out rides the write job itself (CollectMetrics) — zero
+        # extra jobs on any backend, local or remote
+        obs = Observation()
+        df = df.observe(obs, F.count(F.lit(1)).alias("rows_out"))
+
         if self.fmt == "iceberg":
             df.writeTo(f"{self.ns}.{table}").createOrReplace()
             out = self.spark.read.table(f"{self.ns}.{table}")
@@ -94,45 +143,50 @@ class CheckpointCatalog:
             ptr = self._read_pointer(table)
             n = (ptr["seq"] + 1) if ptr else 0
             snap = f"snap-{n:05d}"
-            path = f"{self._tdir(table)}/{snap}"
-            df.write.mode("overwrite").parquet(path)
-            out = self.spark.read.parquet(path)
-            tmp = self._latest_path(table) + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(
-                    {"snapshot": snap, "seq": n, "input_sig": input_sig}, f
-                )
-            os.replace(tmp, self._latest_path(table))  # atomic publish
+            staging = f"{self.base}/_staging/{table}/{snap}"
+            final = f"{self._tdir(table)}/{snap}"
+            # overwrite: a crashed earlier attempt may have left staging
+            df.write.mode("overwrite").parquet(staging)
+            self.fs.write_text(
+                f"{staging}/_META.json",
+                json.dumps({"seq": n, "input_sig": input_sig,
+                            "stage": stage or table, "ts": time.time()}),
+            )
+            self.fs.mkdirs(self._tdir(table))
+            self.fs.rename(staging, final)  # atomic publish == commit
+            out = self.spark.read.parquet(final)
 
-        # lineage counters from the published snapshot. Parquet path:
-        # read the row counts out of the file FOOTERS (one output file per
-        # write task = per-partition counts) — metadata-only, no Spark job.
-        # The previous groupBy(spark_partition_id).count() re-scanned every
-        # snapshot once per stage: an O(stage bytes) lineage tax that a
-        # 100 TB run cannot pay.
+        rows_out = int(obs.get["rows_out"])
+        part_counts: dict = {}
+        part_unit = None
         if partition_lineage and self.fmt != "iceberg":
-            import pyarrow.parquet as pq
+            local = self.fs.local_path(final)
+            if local is not None:
+                # per-partition ROW counts from parquet footers: one
+                # output file per write task, metadata-only reads
+                import pyarrow.parquet as pq
 
-            files = sorted(
-                fn for fn in os.listdir(path)
-                if fn.endswith(".parquet") and not fn.startswith("_")
-            )
-            part_counts = {
-                i: pq.ParquetFile(f"{path}/{fn}").metadata.num_rows
-                for i, fn in enumerate(files)
-            }
-            rows_out = sum(part_counts.values())
-        elif partition_lineage:
-            per_part = (
-                out.groupBy(F.spark_partition_id().alias("pid"))
-                .count()
-                .collect()
-            )
-            part_counts = {int(r["pid"]): int(r["count"]) for r in per_part}
-            rows_out = sum(part_counts.values())
-        else:
-            part_counts = {}
-            rows_out = out.count()
+                files = sorted(
+                    fn for fn in self.fs.list_names(final)
+                    if fn.endswith(".parquet") and not fn.startswith("_")
+                )
+                part_counts = {
+                    i: pq.ParquetFile(f"{local}/{fn}").metadata.num_rows
+                    for i, fn in enumerate(files)
+                }
+                part_unit = "rows"
+            else:
+                # remote root: footers aren't locally readable — degrade
+                # to per-file BYTES from the directory listing (still
+                # metadata-only; good enough for skew/lineage forensics)
+                part_counts = {
+                    i: size
+                    for i, (fn, size) in enumerate(
+                        sorted(self.fs.file_sizes(final).items())
+                    )
+                    if fn.endswith(".parquet") and not fn.startswith("_")
+                }
+                part_unit = "bytes"
         self._log_lineage(
             {
                 "stage": stage or table,
@@ -141,7 +195,10 @@ class CheckpointCatalog:
                 "input_sig": input_sig,
                 "rows_out": rows_out,
                 "n_partitions": len(part_counts) or None,
-                "partition_rows": part_counts,
+                "partition_rows": part_counts
+                if part_unit in (None, "rows") else None,
+                "partition_bytes": part_counts
+                if part_unit == "bytes" else None,
                 "wall_ms": int((time.time() - t0) * 1000),
                 "ts": time.time(),
             }
@@ -149,15 +206,13 @@ class CheckpointCatalog:
         return out
 
     def _log_lineage(self, row: dict) -> None:
-        with open(f"{self.base}/_lineage", "a") as f:
-            f.write(json.dumps(row) + "\n")
+        self.fs.append_line(f"{self.base}/_lineage", json.dumps(row))
 
     def lineage(self) -> list[dict]:
-        p = f"{self.base}/_lineage"
-        if not os.path.exists(p):
-            return []
-        with open(p) as f:
-            return [json.loads(line) for line in f if line.strip()]
+        return [
+            json.loads(line)
+            for line in self.fs.read_lines(f"{self.base}/_lineage")
+        ]
 
     # -- resume-aware stage runner ------------------------------------------
     def stage(self, table: str, input_sig: str, compute) -> DataFrame:
@@ -175,3 +230,48 @@ class CheckpointCatalog:
             )
             return self.read(table)
         return self.write(compute(), table, stage=table, input_sig=input_sig)
+
+    # -- maintenance --------------------------------------------------------
+    def expire_snapshots(self, table: str, keep_last: int = 2) -> list[str]:
+        """Drop all but the newest ``keep_last`` published snapshots of
+        ``table`` plus any staging garbage; returns deleted paths. The
+        parquet-backend analog of Iceberg's ``expireSnapshots`` — without
+        it a 10^12-doc pipeline re-run N times keeps N full copies of
+        every stage."""
+        deleted = []
+        snaps = self._snapshots(table)
+        for _, name in snaps[:-keep_last] if keep_last > 0 else snaps:
+            p = f"{self._tdir(table)}/{name}"
+            self.fs.delete(p)
+            deleted.append(p)
+        staging = f"{self.base}/_staging/{table}"
+        if self.fs.exists(staging):
+            self.fs.delete(staging)
+            deleted.append(staging)
+        return deleted
+
+    def compact(
+        self,
+        table: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> DataFrame:
+        """Rewrite ``table``'s latest snapshot so each output file is
+        ~``target_file_bytes`` (Iceberg ``rewriteDataFiles`` analog).
+        Small-file dust is the classic failure mode of incremental
+        pipelines: thousands of KB-sized files turn downstream scans into
+        per-file overhead. Publishes a NEW snapshot under the SAME input
+        signature (resume semantics unchanged); the old one becomes
+        expirable."""
+        ptr = self._read_pointer(table)
+        if ptr is None:
+            raise FileNotFoundError(f"no published snapshot for {table}")
+        final = f"{self._tdir(table)}/{ptr['snapshot']}"
+        total = sum(
+            size for fn, size in self.fs.file_sizes(final).items()
+            if fn.endswith(".parquet")
+        )
+        n_files = max(1, -(-total // max(target_file_bytes, 1)))
+        df = self.read(table).coalesce(int(n_files))
+        return self.write(
+            df, table, stage=f"compact-{table}", input_sig=ptr["input_sig"]
+        )

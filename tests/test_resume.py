@@ -35,11 +35,67 @@ def test_stage_resume_skips_compute(spark, tmp_path):
 def test_atomic_publish_survives_partial_write(spark, tmp_path):
     cat = CheckpointCatalog(spark, str(tmp_path / "cat2"))
     cat.write(spark.range(3).toDF("id"), "t")
-    # simulate a killed writer: a dangling snapshot dir without pointer flip
+    # simulate a partially-copied snapshot dir (non-atomic rename store):
+    # no _META.json => invisible to readers, even at a higher seq
     import os
 
     os.makedirs(str(tmp_path / "cat2/t/snap-99999"), exist_ok=True)
     assert cat.read("t").count() == 3  # reader unaffected
+    # killed writer leaves staging garbage only; next write overwrites it
+    os.makedirs(str(tmp_path / "cat2/_staging/t/snap-00001"), exist_ok=True)
+    cat.write(spark.range(4).toDF("id"), "t")
+    assert cat.read("t").count() == 4
+
+
+def test_hadoop_fs_backend_roundtrip(spark, tmp_path):
+    """file:// routes the control plane through the Hadoop FileSystem
+    API — the same code path an hdfs:// / s3a:// base_dir takes on a
+    real cluster (publish rename, _META marker, per-row lineage files)."""
+    cat = CheckpointCatalog(spark, f"file://{tmp_path}/cath")
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return spark.range(7).toDF("id")
+
+    a = cat.stage("t", "sig-A", compute)
+    assert calls["n"] == 1 and a.count() == 7
+    b = cat.stage("t", "sig-A", compute)  # resume through HadoopFS
+    assert calls["n"] == 1 and b.count() == 7
+
+    rows = cat.lineage()
+    written = [s for s in rows if not s.get("resumed")]
+    assert written and written[0]["rows_out"] == 7
+    assert any(s.get("resumed") for s in rows)
+
+
+def test_expire_snapshots_and_compact(spark, tmp_path):
+    import os
+
+    cat = CheckpointCatalog(spark, str(tmp_path / "catm"))
+    cat.write(spark.range(10).toDF("id").repartition(8), "t", input_sig="s1")
+    cat.write(spark.range(20).toDF("id").repartition(8), "t", input_sig="s2")
+    assert len(cat._snapshots("t")) == 2
+
+    deleted = cat.expire_snapshots("t", keep_last=1)
+    assert deleted and len(cat._snapshots("t")) == 1
+    assert cat.read("t").count() == 20  # newest survives
+
+    # compact: 8 small files -> 1 full-size file, SAME input signature
+    # (resume semantics unchanged), published as a new snapshot
+    out = cat.compact("t")
+    assert out.count() == 20
+    snap_dir = f"{cat._tdir('t')}/{cat._read_pointer('t')['snapshot']}"
+    files = [f for f in os.listdir(snap_dir) if f.endswith(".parquet")]
+    assert len(files) == 1
+    assert cat.exists("t", "s2")  # still resumable under the original sig
+    calls = {"n": 0}
+
+    def compute():
+        calls["n"] += 1
+        return spark.range(1).toDF("id")
+
+    assert cat.stage("t", "s2", compute).count() == 20 and calls["n"] == 0
 
 
 def test_pipeline_resume_end_to_end(spark, golden_pages, golden_gazetteer, tmp_path):
