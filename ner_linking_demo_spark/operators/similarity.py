@@ -140,6 +140,59 @@ def lsh_index(
     )
 
 
+def prepare_index(
+    df: DataFrame,
+    planes: np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_method: str = "auto",
+) -> DataFrame:
+    """Corpus -> the exact shape :func:`ann_join` joins against:
+    (vec_id, iv array<double>, bucket, inorm). Computing bucket + norm
+    ONCE at index-build time (instead of per query job) is the point —
+    at 10^12 vectors the per-query recompute is planes x dim x corpus
+    arithmetic per batch."""
+    return df.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(emb_col).cast("array<double>").alias("iv"),
+    ).withColumn(
+        "bucket", _bucket_col(F.col("iv"), planes, bucket_method)
+    ).withColumn("inorm", _norm(F.col("iv")))
+
+
+def write_bucketed_index(
+    df: DataFrame,
+    planes: np.ndarray,
+    table: str,
+    n_buckets: int = 64,
+    path: str | None = None,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    bucket_method: str = "auto",
+) -> None:
+    """Materialize the ANN index as a Spark BUCKETED table: rows are
+    hash-clustered into ``n_buckets`` files by the LSH ``bucket`` column
+    and sorted within each file.
+
+    This is the storage layout that makes the docstring's "zero corpus
+    shuffle" real rather than aspirational: a scan of a bucketed table
+    reports its hash partitioning to Catalyst, so an equi-join on
+    ``bucket`` needs NO Exchange on the corpus side — only the (much
+    smaller, multi-probe-exploded) query side shuffles into place. On a
+    1000-executor cluster that's the difference between moving the 100 TB
+    index every query batch and moving only the queries
+    (plan-asserted in tests/test_similarity.py)."""
+    writer = (
+        prepare_index(df, planes, emb_col, id_col, bucket_method)
+        .write.bucketBy(n_buckets, "bucket")
+        .sortBy("bucket")
+        .mode("overwrite")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
+
+
 def probe_masks(n_planes: int, probe_bits: int) -> list[int]:
     """Multi-probe XOR masks: the bucket itself, plus every bucket within
     ``probe_bits`` bit flips (Hamming ball of the bucket code)."""
@@ -168,6 +221,7 @@ def ann_join(
     query_id_col: str = "q_id",
     broadcast_queries: bool = False,
     bucket_method: str = "auto",
+    index_prepared: bool = False,
 ) -> DataFrame:
     """Batch ANN join: query DF x indexed corpus -> top-k per query.
 
@@ -216,14 +270,22 @@ def ann_join(
     )
     if broadcast_queries:
         qside = F.broadcast(qside)
-    iside = (
-        index.select(
-            F.col(id_col).alias("vec_id"),
-            F.col(emb_col).cast("array<double>").alias("iv"),
+    if index_prepared:
+        # index already carries (vec_id, iv, bucket, inorm) — e.g. a
+        # write_bucketed_index table: no recompute, and if the storage is
+        # bucketed on `bucket` the corpus side joins with NO Exchange
+        iside = index.select("vec_id", "iv", "bucket", "inorm")
+    else:
+        iside = (
+            index.select(
+                F.col(id_col).alias("vec_id"),
+                F.col(emb_col).cast("array<double>").alias("iv"),
+            )
+            .withColumn(
+                "bucket", _bucket_col(F.col("iv"), planes, bucket_method)
+            )
+            .withColumn("inorm", _norm(F.col("iv")))
         )
-        .withColumn("bucket", _bucket_col(F.col("iv"), planes, bucket_method))
-        .withColumn("inorm", _norm(F.col("iv")))
-    )
     scored = qside.join(iside, "bucket").select(
         "q_id",
         "vec_id",

@@ -105,3 +105,60 @@ def test_bucket_udf_parity_with_expression(spark, vectors):
     pa = dict(zip(*map(list, zip(*a.collect()))))
     pb = dict(zip(*map(list, zip(*b.collect()))))
     assert pa == pb
+
+
+def test_bucketed_index_zero_corpus_shuffle(spark, vectors, tmp_path):
+    """write_bucketed_index + index_prepared: same results as the inline
+    path, and the PHYSICAL plan shows no Exchange on the corpus side —
+    the scan's bucket clustering feeds the join directly. The only
+    exchanges left are the query side and the ranking window."""
+    import pyspark.sql.functions as F
+
+    df, _ = vectors
+    planes = SIM.hyperplanes(dim=16, n_planes=8)
+    queries = df.filter("vec_id < 5").select(
+        F.col("vec_id").alias("q_id"), "embedding"
+    )
+
+    SIM.write_bucketed_index(
+        df, planes, "ann_idx_test", n_buckets=8,
+        path=str(tmp_path / "ann_idx"),
+    )
+    try:
+        corpus = spark.table("ann_idx_test")
+        old_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            out = SIM.ann_join(
+                queries, corpus, planes, k=10, probe_bits=1,
+                index_prepared=True,
+            )
+            import re
+
+            plan = out._sc._jvm.PythonSQLUtils.explainString(
+                out._jdf.queryExecution(), "formatted"
+            )
+            # exactly two Exchange nodes: query side + ranking window;
+            # the corpus scan feeds the join with no Exchange above it
+            assert len(re.findall(r"\(\d+\) Exchange", plan)) == 2, plan
+            assert re.search(r"Sort[\s\S]{0,200}?Scan parquet[^\n]*ann_idx_test", plan), plan
+            got = out.toPandas()
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
+
+        ref = SIM.ann_join(
+            queries, df, planes, k=10, probe_bits=1
+        ).toPandas()
+        key = ["q_id", "rank"]
+        import pandas as pd
+
+        pd.testing.assert_frame_equal(
+            got.sort_values(key).reset_index(drop=True)[
+                ["q_id", "vec_id", "rank"]
+            ],
+            ref.sort_values(key).reset_index(drop=True)[
+                ["q_id", "vec_id", "rank"]
+            ],
+        )
+    finally:
+        spark.sql("DROP TABLE IF EXISTS ann_idx_test")
