@@ -159,3 +159,63 @@ def connected_components(
             F.coalesce("component", "node").alias("component"),
         )
     )
+
+
+def incremental_components(
+    prev: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    **cc_kwargs,
+) -> DataFrame:
+    """Fold a batch of new alias edges into an existing (node, component)
+    assignment WITHOUT recomputing the full graph — the canonicalization
+    step an incremental 10^12-doc pipeline actually runs per batch, where
+    the accumulated entity graph dwarfs every delta.
+
+    Only components TOUCHED by the new edges are recomputed: prior
+    assignments double as (member -> component-id) edges, so running
+    :func:`connected_components` over {new edges} ∪ {membership edges of
+    touched components} yields ids identical to a full recompute — the
+    id convention (component = lexicographic min member) makes min over
+    the merged member set equal min over the union graph. Untouched
+    components pass through verbatim (anti-join), giving per-batch cost
+    O(delta + touched members), not O(graph).
+
+    Shuffle accounting: two semi-join-shaped probes (touched nodes ->
+    touched components -> members) + the CC iteration on the delta
+    subgraph. The touched-component id set is typically dimension-sized:
+    AQE broadcast-joins it at runtime.
+
+    Equivalence to full recompute is property-tested across random
+    batch splits in tests/test_canonicalize.py.
+    """
+    e = (
+        new_edges.select(
+            F.col(src).cast("string").alias("src"),
+            F.col(dst).cast("string").alias("dst"),
+        )
+        .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+        .dropDuplicates(["src", "dst"])
+    )
+    prev = prev.select(
+        F.col("node").cast("string").alias("node"),
+        F.col("component").cast("string").alias("component"),
+    )
+    touched_nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    touched_comps = (
+        prev.join(touched_nodes, "node").select("component").distinct()
+    )
+    affected = prev.join(touched_comps, "component")
+    edge_set = e.unionByName(
+        affected.select(
+            F.col("node").alias("src"), F.col("component").alias("dst")
+        )
+    )
+    recomputed = connected_components(edge_set, **cc_kwargs)
+    untouched = prev.join(touched_comps, "component", "left_anti")
+    return untouched.select("node", "component").unionByName(recomputed)

@@ -29,7 +29,13 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+from ..operators.canonicalize import (
+    connected_components,
+    incremental_components,
+)
+from ..plans.catalog import CheckpointCatalog
 from ..plans.pipeline import run_pipeline
 
 
@@ -65,6 +71,7 @@ def incremental_pipeline(
     checkpoint_dir: str,
     k: int = 3,
     trigger_once: bool = True,
+    maintain_entities: bool = False,
 ):
     """pages readStream -> per-micro-batch KG pipeline -> atomic publishes.
 
@@ -72,7 +79,19 @@ def incremental_pipeline(
     ``out_dir/triples`` (read it back with ``spark.read.parquet``).
     ``trigger_once=True`` (availableNow) drains what's there and stops —
     the batch-job-with-streaming-bookkeeping mode; ``False`` runs
-    continuously."""
+    continuously.
+
+    ``maintain_entities=True`` additionally maintains a GLOBAL
+    surface-form equivalence table across micro-batches: each batch's
+    rank-1 (surface form <-> code) links become alias edges, folded into
+    the accumulated (node, component) assignment with
+    :func:`incremental_components` — per-batch cost is O(delta +
+    touched components), never a full-graph recompute, and canonical ids
+    are stable across batches (min-member convention). State lives in a
+    CheckpointCatalog at ``out_dir/_state`` (table ``entities_cc``) with
+    the same rename-commit protocol as the triples; replayed batch ids
+    are skipped via the catalog's input-signature chain (``upto-N``
+    monotone), keeping the fold idempotent under restart."""
     root = out_dir.rstrip("/")
     triples_root = f"{root}/triples"
     staging_root = f"{root}/_staging"
@@ -80,15 +99,57 @@ def incremental_pipeline(
     fs.mkdirs(triples_root)
     fs.mkdirs(staging_root)
 
+    state = (
+        CheckpointCatalog(spark, f"{root}/_state")
+        if maintain_entities
+        else None
+    )
+
+    def _fold_entities(res, batch_id: int) -> None:
+        ptr = state._read_pointer("entities_cc")
+        if ptr and ptr.get("input_sig"):
+            upto = int(ptr["input_sig"].rsplit("-", 1)[1])
+            if upto >= batch_id:
+                return  # replayed batch: already folded into this state
+        new_edges = (
+            res.linked.select(
+                F.concat(F.lit("sf:"), F.lower("span")).alias("src"),
+                # rank-1 code: first element of the top-k codes array
+                F.concat(F.lit("c:"), F.element_at("codes", 1)).alias("dst"),
+            )
+            .where(F.col("dst").isNotNull())
+            .distinct()
+        )
+        if ptr is None:
+            assign = connected_components(new_edges)
+        else:
+            assign = incremental_components(
+                state.read("entities_cc"), new_edges
+            )
+        state.write(
+            assign,
+            "entities_cc",
+            stage=f"entities_cc-b{batch_id}",
+            input_sig=f"upto-{batch_id}",
+        )
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         final = f"{triples_root}/batch_id={batch_id}"
         if fs.exists(final):
-            return  # replayed micro-batch: already published atomically
+            # replayed micro-batch: triples already published atomically;
+            # still make sure the entity fold for this batch landed (a
+            # crash BETWEEN triples publish and state write re-runs here)
+            if state is not None:
+                res = run_pipeline(spark, batch_df, gazetteer_pdf, k=k)
+                _fold_entities(res, batch_id)
+            return
         res = run_pipeline(spark, batch_df, gazetteer_pdf, k=k)
         staging = f"{staging_root}/batch-{batch_id}"
         # overwrite: a crashed earlier attempt may have left partial staging
         res.triples.write.mode("overwrite").parquet(staging)
         fs.rename(staging, final)  # single atomic publish == commit record
+        if state is not None:
+            _fold_entities(res, batch_id)
 
     writer = (
         pages_stream.writeStream.foreachBatch(process)

@@ -60,3 +60,60 @@ def test_cc_isolated_self_loop(spark):
     )
     got = {r["node"]: r["component"] for r in connected_components(df).collect()}
     assert got == {"a": "a", "b": "b", "c": "b"}
+
+
+@pytest.mark.parametrize("seed,driver_threshold", [(11, 200_000), (12, 0)])
+def test_incremental_equals_full_recompute(spark, seed, driver_threshold):
+    """Random graph split into 3 batches, folded in incrementally ==
+    one-shot CC over all edges (both physical paths)."""
+    from ner_linking_demo_spark.operators.canonicalize import (
+        incremental_components,
+    )
+
+    edges = _random_edges(120, 150, seed)
+    rng = random.Random(seed + 1)
+    batches = [[], [], []]
+    for ed in edges:
+        batches[rng.randrange(3)].append(ed)
+
+    assign = connected_components(
+        spark.createDataFrame(batches[0], ["src", "dst"]),
+        driver_threshold=driver_threshold,
+    )
+    for b in batches[1:]:
+        assign = incremental_components(
+            assign,
+            spark.createDataFrame(b, ["src", "dst"]),
+            driver_threshold=driver_threshold,
+        )
+    got = {r["node"]: r["component"] for r in assign.collect()}
+    want = oracle_components(edges)
+    assert got == want
+
+
+def test_incremental_untouched_components_stable(spark):
+    """A batch touching only one component leaves every other
+    assignment row verbatim, and merging two components takes the
+    smaller id."""
+    from ner_linking_demo_spark.operators.canonicalize import (
+        incremental_components,
+    )
+
+    base = [("a1", "a2"), ("b1", "b2"), ("c1", "c2")]
+    assign = connected_components(spark.createDataFrame(base, ["src", "dst"]))
+    before = {r["node"]: r["component"] for r in assign.collect()}
+    assert before == {
+        "a1": "a1", "a2": "a1", "b1": "b1", "b2": "b1", "c1": "c1", "c2": "c1",
+    }
+
+    # merge b* into a*, add a brand-new isolated pair d1-d2
+    delta = [("a2", "b1"), ("d1", "d2")]
+    out = incremental_components(
+        assign, spark.createDataFrame(delta, ["src", "dst"])
+    )
+    after = {r["node"]: r["component"] for r in out.collect()}
+    assert after == {
+        "a1": "a1", "a2": "a1", "b1": "a1", "b2": "a1",
+        "c1": "c1", "c2": "c1",          # untouched, verbatim
+        "d1": "d1", "d2": "d1",          # new nodes, new component
+    }

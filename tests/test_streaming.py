@@ -216,3 +216,81 @@ def test_incremental_publish_with_file_uri(spark, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(out_uri + "/triples").count() == n
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_incremental_entities_state_across_batches(spark, tmp_path):
+    """maintain_entities: the cross-batch surface-form equivalence table
+    equals one-shot CC over ALL batches' rank-1 (sf, code) edges, and a
+    restart replay leaves it unchanged (idempotent fold)."""
+    import pyspark.sql.functions as F
+
+    from ner_linking_demo_spark.operators.canonicalize import (
+        connected_components,
+    )
+    from ner_linking_demo_spark.plans.catalog import CheckpointCatalog
+
+    gaz = gen_gazetteer(n_codes=25)
+    pages = gen_pages(n_pages=16, gazetteer=gaz, giant_every=0)
+    src = str(tmp_path / "src")
+    # two parquet files => two micro-batches with maxFilesPerTrigger=1
+    pages_to_spark(spark, pages.iloc[:8]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    pages_to_spark(spark, pages.iloc[8:]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(pages_spark_schema())
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = incremental_pipeline(
+        spark, stream, gaz, out_dir=out,
+        checkpoint_dir=str(tmp_path / "sckpt"), k=3,
+        maintain_entities=True,
+    )
+    q.awaitTermination(180)
+
+    state = CheckpointCatalog(spark, f"{out}/_state")
+    got = {
+        (r["node"], r["component"])
+        for r in state.read("entities_cc").collect()
+    }
+
+    # oracle: one-shot CC over the union of every batch's rank-1 edges
+    full = run_pipeline(spark, pages_to_spark(spark, pages), gaz, k=3)
+    edges = (
+        full.linked.select(
+            F.concat(F.lit("sf:"), F.lower("span")).alias("src"),
+            F.concat(F.lit("c:"), F.element_at("codes", 1)).alias("dst"),
+        )
+        .where(F.col("dst").isNotNull())
+        .distinct()
+    )
+    want = {
+        (r["node"], r["component"])
+        for r in connected_components(edges).collect()
+    }
+    assert got == want and len(got) > 0
+    folds = [
+        s for s in state.lineage()
+        if s["table"] == "entities_cc" and not s.get("resumed")
+    ]
+    assert len(folds) == 2  # one fold per micro-batch
+
+    # restart: availableNow finds nothing new; state must not change
+    q2 = incremental_pipeline(
+        spark, stream, gaz, out_dir=out,
+        checkpoint_dir=str(tmp_path / "sckpt"), k=3,
+        maintain_entities=True,
+    )
+    q2.awaitTermination(180)
+    state2 = CheckpointCatalog(spark, f"{out}/_state")
+    got2 = {
+        (r["node"], r["component"])
+        for r in state2.read("entities_cc").collect()
+    }
+    assert got2 == got
