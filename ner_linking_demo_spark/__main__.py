@@ -26,14 +26,37 @@ import pandas as pd
 
 def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     ap = argparse.ArgumentParser(prog="ner_linking_demo_spark")
-    ap.add_argument("--pages", required=True, help="parquet dir or table name")
-    ap.add_argument("--gazetteer", required=True, help="gazetteer TSV path")
-    ap.add_argument("--out", required=True, help="output dir / namespace")
+    ap.add_argument("--pages", help="parquet dir or table name")
+    ap.add_argument("--gazetteer", help="gazetteer TSV path")
+    ap.add_argument("--out", help="output dir / namespace")
     ap.add_argument("--checkpoint", default=None, help="checkpoint dir")
     ap.add_argument("--k", type=int, default=3)
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--input-sig", default=None, help="resume signature")
+    ap.add_argument(
+        "--maintain",
+        choices=["expire", "compact"],
+        default=None,
+        help="checkpoint housekeeping instead of a pipeline run: "
+        "expire = drop all but --keep-last snapshots per table + staging "
+        "GC; compact = rewrite each table's latest snapshot at "
+        "--target-file-mb (same input signature, resume unaffected)",
+    )
+    ap.add_argument("--tables", default=None,
+                    help="comma-separated tables for --maintain "
+                    "(default: every table in the checkpoint)")
+    ap.add_argument("--keep-last", type=int, default=2)
+    ap.add_argument("--target-file-mb", type=int, default=128)
     args = ap.parse_args(argv)
+
+    if args.maintain:
+        if not args.checkpoint:
+            ap.error("--maintain requires --checkpoint")
+        _run_maintenance(args, stop_session)
+        return
+    for req in ("pages", "gazetteer", "out"):
+        if getattr(args, req) is None:
+            ap.error(f"--{req} is required for a pipeline run")
 
     # absolute imports: this file is also submitted as a bare script path
     # (spark-submit --py-files engine.zip .../__main__.py), where relative
@@ -68,6 +91,32 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
         df.write.mode("overwrite").parquet(f"{args.out}/{name}")
     print("invariants:", verify_invariants(res))
     if stop_session:  # False for in-process (test) callers sharing a session
+        spark.stop()
+
+
+def _run_maintenance(args, stop_session: bool) -> None:
+    from ner_linking_demo_spark.plans.catalog import CheckpointCatalog
+    from ner_linking_demo_spark.session import get_spark
+
+    spark = get_spark(app_name="kg-maintain")
+    cat = CheckpointCatalog(spark, args.checkpoint)
+    if args.tables:
+        tables = [t.strip() for t in args.tables.split(",") if t.strip()]
+    else:
+        tables = [
+            n for n in cat.fs.list_names(cat.base)
+            if not n.startswith("_") and cat._snapshots(n)
+        ]
+    for table in tables:
+        if args.maintain == "expire":
+            deleted = cat.expire_snapshots(table, keep_last=args.keep_last)
+            print(f"expire {table}: deleted {len(deleted)}")
+        else:
+            cat.compact(
+                table, target_file_bytes=args.target_file_mb * 1024 * 1024
+            )
+            print(f"compact {table}: -> {cat._read_pointer(table)['snapshot']}")
+    if stop_session:
         spark.stop()
 
 
