@@ -34,6 +34,11 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--input-sig", default=None, help="resume signature")
     ap.add_argument(
+        "--from-html", action="store_true",
+        help="derive text from the html column (native byte-exact "
+        "extractor) instead of reading the text column",
+    )
+    ap.add_argument(
         "--maintain",
         choices=["expire", "compact"],
         default=None,
@@ -82,6 +87,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
         checkpoint_dir=args.checkpoint,
         num_partitions=args.partitions,
         input_sig=args.input_sig,
+        from_html=args.from_html,
     )
     for name, df in (
         ("triples", res.triples),

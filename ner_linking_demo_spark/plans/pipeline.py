@@ -50,6 +50,7 @@ def run_pipeline(
     num_partitions: int | None = None,
     input_sig: str | None = None,
     reranker: str | None = None,
+    from_html: bool = False,
 ) -> PipelineResult:
     """Run pages -> triples. When ``checkpoint_dir`` is set, every stage is
     snapshot-checkpointed and resumable; otherwise the plan runs fully lazy
@@ -57,7 +58,16 @@ def run_pipeline(
 
     ``input_sig`` identifies the input for resume purposes (e.g. the source
     table's snapshot id); defaults to a shape-based signature.
+
+    ``from_html=True`` derives ``text`` from the ``html`` column with the
+    native byte-exact extractor (functions/html_extract.py) — for inputs
+    where only the raw page bytes are populated. Extraction runs inside
+    the scan projection (whole-stage codegen), so it adds no stage.
     """
+    if from_html:
+        from ..functions.html_extract import extract_text_expr
+
+        pages = pages.withColumn("text", extract_text_expr("html"))
     embedder = embedder or HashEmbedder()
     # Content hash, not row count: editing a term/code/tag without changing
     # the row count must invalidate every dependent snapshot.

@@ -266,3 +266,65 @@ def test_lsh_bucket_auto_method(spark):
     b = {r.vec_id: r.bucket
          for r in SIM.lsh_index(df, planes_small, method="pandas").collect()}
     assert a == b
+
+
+def test_html_extraction_byte_identity(spark):
+    """Native (Catalyst substring/decode) extraction == the driver-side
+    extractor byte-for-byte over the whole generated corpus; UDF seam
+    agrees; fidelity counter is 0 and catches corruption."""
+    import pyspark.sql.functions as F
+
+    from ner_linking_demo_spark.functions import html_extract as HX
+    from ner_linking_demo_spark.sources import fixtures as FX
+
+    gaz = FX.gen_gazetteer(n_codes=15)
+    pages = FX.gen_pages(n_pages=40, gazetteer=gaz, giant_every=7)
+    df = FX.pages_to_spark(spark, pages)
+
+    got = df.select(
+        "url",
+        HX.extract_text_expr("html").alias("native"),
+        HX.extract_text_udf()(F.col("html")).alias("viaudf"),
+        "text",
+    ).collect()
+    assert len(got) == 40
+    for r in got:
+        assert r["native"] == r["text"], r["url"]  # byte-identical
+        assert r["viaudf"] == r["text"], r["url"]
+
+    assert HX.verify_text_fidelity(df) == 0
+
+    # corrupt one row's html -> exactly one violation, and NULL extraction
+    bad = df.withColumn(
+        "html",
+        F.when(F.col("url") == got[0]["url"],
+               F.lit(bytearray(b"<div>not ours</div>"))).otherwise(
+            F.col("html")
+        ),
+    )
+    assert HX.verify_text_fidelity(bad) == 1
+    nulls = bad.filter(HX.extract_text_expr("html").isNull()).count()
+    assert nulls == 1
+
+
+def test_pipeline_from_html(spark):
+    """from_html=True: pipeline over pages with NO text column (only raw
+    html bytes) produces the same triples as the text-column run."""
+    import pyspark.sql.functions as F
+
+    from ner_linking_demo_spark.plans.pipeline import run_pipeline
+    from ner_linking_demo_spark.sources import fixtures as FX
+
+    gaz = FX.gen_gazetteer(n_codes=15)
+    pages = FX.gen_pages(n_pages=12, gazetteer=gaz)
+    df = FX.pages_to_spark(spark, pages)
+
+    ref = run_pipeline(spark, df, gaz, k=3).triples
+    got = run_pipeline(
+        spark, df.withColumn("text", F.lit(None).cast("string")),
+        gaz, k=3, from_html=True,
+    ).triples
+    key = ["subj", "pred", "code", "start", "end", "rank"]
+    assert {tuple(r) for r in got.select(*key).collect()} == {
+        tuple(r) for r in ref.select(*key).collect()
+    }
