@@ -1,0 +1,82 @@
+"""WARC source: roundtrip fidelity (plain + gzip, resource + response
+records), input_hint shape, and pipeline parity vs the parquet path."""
+
+from __future__ import annotations
+
+import gzip
+
+import pandas as pd
+import pytest
+
+from ner_linking_demo_spark.sources import fixtures as FX
+from ner_linking_demo_spark.sources import warc as W
+
+
+@pytest.fixture(scope="module")
+def warc_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("warc")
+    gaz = FX.gen_gazetteer(n_codes=15)
+    pages = FX.gen_pages(n_pages=14, gazetteer=gaz)
+    # two archives, one gzipped -> two tasks, both codec branches
+    W.write_warc_fixture(pages.iloc[:7], str(d / "a.warc"))
+    W.write_warc_fixture(pages.iloc[7:], str(d / "b.warc.gz"), compress=True)
+    return d, gaz, pages
+
+
+def test_warc_roundtrip_byte_identity(spark, warc_dir):
+    d, _, pages = warc_dir
+    got = W.read_warc(spark, str(d)).toPandas()
+    assert len(got) == len(pages)
+    g = got.set_index("url")
+    for _, r in pages.iterrows():
+        row = g.loc[r["url"]]
+        assert bytes(row["html"]) == bytes(r["html"])  # byte-identical
+        want = pd.Timestamp(r["warc_ts"])
+        if want.tzinfo is not None:
+            want = want.tz_convert("UTC").tz_localize(None)
+        assert pd.Timestamp(row["warc_ts"]) == want
+
+
+def test_warc_response_records_strip_http_envelope(spark, tmp_path):
+    """response-type records carry an HTTP envelope; the body after the
+    first blank line is the page, byte-identical."""
+    body = FX.wrap_html("cuerpo de prueba")
+    payload = (
+        b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body
+    )
+    rec = (
+        b"WARC/1.0\r\n"
+        b"WARC-Type: response\r\n"
+        b"WARC-Target-URI: https://x.example/p\r\n"
+        b"WARC-Date: 2026-01-02T03:04:05Z\r\n"
+        + f"Content-Length: {len(payload)}\r\n\r\n".encode()
+        + payload + b"\r\n\r\n"
+    )
+    p = tmp_path / "r.warc.gz"
+    p.write_bytes(gzip.compress(rec))
+    got = W.read_warc(spark, str(p)).collect()
+    assert len(got) == 1
+    assert bytes(got[0]["html"]) == body
+    assert got[0]["url"] == "https://x.example/p"
+
+
+def test_pages_from_warc_full_shape_and_pipeline_parity(spark, warc_dir):
+    d, gaz, pages = warc_dir
+    from ner_linking_demo_spark.plans.pipeline import run_pipeline
+
+    df = W.pages_from_warc(spark, str(d))
+    assert [f.name for f in df.schema.fields] == [
+        "url", "warc_ts", "html", "text", "lang"
+    ]
+    # text column is the byte-exact extraction
+    tx = {r["url"]: r["text"] for r in df.collect()}
+    assert tx == dict(zip(pages["url"], pages["text"]))
+
+    key = ["subj", "pred", "code", "start", "end", "rank"]
+    got = run_pipeline(spark, df, gaz, k=3).triples
+    ref = run_pipeline(
+        spark, FX.pages_to_spark(spark, pages), gaz, k=3
+    ).triples
+    assert {tuple(r) for r in got.select(*key).collect()} == {
+        tuple(r) for r in ref.select(*key).collect()
+    }
