@@ -26,7 +26,10 @@ import pandas as pd
 
 def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     ap = argparse.ArgumentParser(prog="ner_linking_demo_spark")
-    ap.add_argument("--pages", help="parquet dir or table name")
+    ap.add_argument("--pages", help="parquet dir, table name, or WARC "
+                    "archive dir (with --pages-format warc)")
+    ap.add_argument("--pages-format", choices=["auto", "parquet", "table",
+                    "warc"], default="auto")
     ap.add_argument("--gazetteer", help="gazetteer TSV path")
     ap.add_argument("--out", help="output dir / namespace")
     ap.add_argument("--checkpoint", default=None, help="checkpoint dir")
@@ -73,7 +76,20 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     from ner_linking_demo_spark.session import get_spark
 
     spark = get_spark(app_name="kg-construct")
-    if os.path.exists(args.pages) or args.pages.endswith(".parquet") or "/" in args.pages:
+    fmt = args.pages_format
+    if fmt == "auto":
+        if args.pages.endswith((".warc", ".warc.gz")):
+            fmt = "warc"
+        elif (os.path.exists(args.pages) or args.pages.endswith(".parquet")
+              or "/" in args.pages):
+            fmt = "parquet"
+        else:
+            fmt = "table"
+    if fmt == "warc":
+        from ner_linking_demo_spark.sources.warc import pages_from_warc
+
+        pages = pages_from_warc(spark, args.pages)
+    elif fmt == "parquet":
         pages = spark.read.parquet(args.pages)
     else:
         pages = spark.read.table(args.pages)

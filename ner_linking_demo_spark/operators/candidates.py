@@ -41,7 +41,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 
 from ..functions.tokenization import words_with_offsets
-from .linking import CANDIDATES_SCHEMA
+from .linking import CANDIDATES_SCHEMA, empty_pandas
 
 
 def default_tokenize(text: str) -> list[str]:
@@ -241,7 +241,7 @@ def _explode_candidates(
     return (
         pd.concat(frames)
         if frames
-        else pd.DataFrame({f.name: [] for f in CANDIDATES_SCHEMA.fields})
+        else empty_pandas(CANDIDATES_SCHEMA)
     )
 
 
@@ -261,9 +261,7 @@ def _generator_operator(mentions: DataFrame, indexes: dict, scorer) -> DataFrame
             yield (
                 pd.concat(outs)
                 if outs
-                else pd.DataFrame(
-                    {f.name: [] for f in CANDIDATES_SCHEMA.fields}
-                )
+                else empty_pandas(CANDIDATES_SCHEMA)
             )
 
     return mentions.mapInPandas(run, schema=CANDIDATES_SCHEMA)
@@ -376,9 +374,7 @@ def term_avg_candidates(mentions: DataFrame, indexes: dict, k: int) -> DataFrame
             yield (
                 pd.concat(outs)
                 if outs
-                else pd.DataFrame(
-                    {f.name: [] for f in CANDIDATES_SCHEMA.fields}
-                )
+                else empty_pandas(CANDIDATES_SCHEMA)
             )
 
     return mentions.mapInPandas(run, schema=CANDIDATES_SCHEMA)

@@ -41,6 +41,30 @@ from pyspark.sql.window import Window
 from ..functions.embedder import HashEmbedder, l2_normalize
 from ..functions.term_index import TermIndex, build_term_index
 
+
+def empty_pandas(schema: T.StructType) -> pd.DataFrame:
+    """Schema-stable AND type-stable empty frame for UDF yields.
+
+    ``pd.DataFrame({name: []})`` defaults every column to float64, and
+    Arrow cannot convert an empty float64-backed column to an ARRAY
+    target type ("NumPyConverter doesn\'t implement list<...>"), so a
+    mapInPandas batch that produced zero rows — e.g. a partition whose
+    pages carry no mentions — crashed serialization for any schema with
+    array columns. Object dtype for nested/string columns keeps the
+    Arrow conversion on the generic path for every Spark type.
+    """
+    def dtype(f):
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType,
+                                   T.StringType, T.BinaryType)):
+            return object
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType)):
+            return "float64"
+        return "int64"
+
+    return pd.DataFrame(
+        {f.name: pd.Series([], dtype=dtype(f)) for f in schema.fields}
+    )
+
 MENTION_KEY = ["url", "start", "end", "label"]
 
 CANDIDATES_SCHEMA = T.StructType(
@@ -120,9 +144,7 @@ def knn_candidates(
             yield (
                 pd.concat(outs)
                 if outs
-                else pd.DataFrame(
-                    {f.name: [] for f in CANDIDATES_SCHEMA.fields}
-                )
+                else empty_pandas(CANDIDATES_SCHEMA)
             )
 
     return mentions.mapInPandas(run, schema=CANDIDATES_SCHEMA)
@@ -198,7 +220,7 @@ def link_mentions_fused(
             yield (
                 pd.concat(outs)
                 if outs
-                else pd.DataFrame({f.name: [] for f in LINKED_SCHEMA.fields})
+                else empty_pandas(LINKED_SCHEMA)
             )
 
     return mentions.mapInPandas(run, schema=LINKED_SCHEMA)
@@ -277,7 +299,7 @@ def detect_and_link(
             yield (
                 pd.concat(outs)
                 if outs
-                else pd.DataFrame({f.name: [] for f in LINKED_SCHEMA.fields})
+                else empty_pandas(LINKED_SCHEMA)
             )
 
     from .ner import balance_pages

@@ -328,3 +328,36 @@ def test_pipeline_from_html(spark):
     assert {tuple(r) for r in got.select(*key).collect()} == {
         tuple(r) for r in ref.select(*key).collect()
     }
+
+
+def test_fused_link_partition_with_zero_mentions(spark):
+    """A partition whose pages contain NO mentions must yield a typed
+    empty Arrow batch — regression: the float64-default empty frame
+    crashed serialization of the array<string> codes column
+    ("NumPyConverter doesn't implement list<string>")."""
+    from ner_linking_demo_spark.functions.embedder import HashEmbedder
+    from ner_linking_demo_spark.operators.linking import (
+        build_indexes,
+        detect_and_link,
+    )
+    from ner_linking_demo_spark.sources import fixtures as FX
+
+    gaz = FX.gen_gazetteer(n_codes=8)
+    pdf = FX.gen_pages(n_pages=2, gazetteer=gaz)
+    pdf.loc[pdf.index[0], "text"] = "sin menciones conocidas aquí."
+    pdf.loc[pdf.index[0], "html"] = FX.wrap_html(
+        "sin menciones conocidas aquí."
+    )
+    df = FX.pages_to_spark(spark, pdf).repartition(4)
+
+    emb = HashEmbedder()
+    idx = build_indexes(gaz, k=3, embedder=emb)
+    out = detect_and_link(df, gaz, idx, k=3, embedder=emb)
+    assert out.count() >= 0  # serialization survives typed-empty batches
+    only_empty = detect_and_link(
+        FX.pages_to_spark(spark, pdf.iloc[:1]), gaz, idx, k=3, embedder=emb
+    )
+    assert only_empty.count() == 0
+    assert [f.name for f in only_empty.schema.fields] == [
+        "url", "start", "end", "label", "span", "codes", "scores"
+    ]

@@ -80,3 +80,23 @@ def test_pages_from_warc_full_shape_and_pipeline_parity(spark, warc_dir):
     assert {tuple(r) for r in got.select(*key).collect()} == {
         tuple(r) for r in ref.select(*key).collect()
     }
+
+
+def test_cli_warc_input(spark, warc_dir, tmp_path):
+    import duckdb
+
+    from ner_linking_demo_spark import __main__ as CLI
+
+    d, gaz, pages = warc_dir
+    tsv = tmp_path / "gaz.tsv"
+    gaz.to_csv(tsv, sep="\t", index=False)
+    out = tmp_path / "kg"
+    CLI.main(
+        ["--pages", str(d), "--pages-format", "warc",
+         "--gazetteer", str(tsv), "--out", str(out), "--k", "3"],
+        stop_session=False,
+    )
+    n = duckdb.sql(
+        f"SELECT count(*) AS n FROM '{out}/triples/*.parquet'"
+    ).df()["n"][0]
+    assert n > 0
