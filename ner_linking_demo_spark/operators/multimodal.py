@@ -128,7 +128,12 @@ def extract_features(
                 "n_bytes": [
                     len(m) if m is not None else 0 for m in pdf["media"]
                 ],
-                "features": [f.astype(np.float32) for f in feats],
+                # object dtype: an empty batch must not default this
+                # array<float> column to float64 (Arrow can't convert
+                # empty float64 -> list; see linking.empty_pandas)
+                "features": pd.Series(
+                    [f.astype(np.float32) for f in feats], dtype=object
+                ),
             }
             for c in passthrough:
                 out[c] = pdf[c]
