@@ -97,6 +97,7 @@ def main() -> None:
     ]
 
     only_kg = os.environ.get("NLDS_BENCH_ONLY") == "kg"
+    n_corpus_docs = 0
     if not only_kg:
         import shutil
         import tempfile
@@ -174,6 +175,27 @@ def main() -> None:
             )
         )
 
+        # corpus preprocessing composition (annotate -> filter -> exact
+        # dedup -> LSH near-dup cluster representatives), the
+        # training-data-pipeline headline; stats off = pure throughput
+        from ner_linking_demo_spark.plans.corpus_pipeline import (
+            run_corpus_pipeline,
+        )
+
+        corpus_docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        n_corpus_docs = corpus_docs.count()
+        benches.append(
+            (
+                "corpus_pipeline_e2e",
+                lambda: _materialize(
+                    run_corpus_pipeline(
+                        spark, corpus_docs, min_tokens=5,
+                        jaccard_threshold=0.5, collect_stats=False,
+                    ).kept
+                ),
+            )
+        )
+
     # --- interleaved rounds, median per benchmark ------------------------
     samples: dict[str, list[float]] = {name: [] for name, _ in benches}
     for _ in range(rounds):
@@ -204,6 +226,13 @@ def main() -> None:
                 "cpus": cpus,
                 "n_docs": n_docs,
                 "kg_docs_per_sec": round(n_docs / kg_wall, 2),
+                "corpus_docs_per_sec": (
+                    round(
+                        n_corpus_docs / timings["corpus_pipeline_e2e"], 2
+                    )
+                    if "corpus_pipeline_e2e" in timings
+                    else None
+                ),
                 "kg_docs_per_sec_checkpointed": (
                     round(n_docs / ckpt_wall, 2) if ckpt_wall else None
                 ),

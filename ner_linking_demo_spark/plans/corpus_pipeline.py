@@ -1,0 +1,146 @@
+"""Training-corpus preprocessing: the composition the individual
+LLM-data operators exist for —
+
+    docs --(annotate: lang/quality/tokens/fingerprint)-->
+         --(filter)--> --(exact dedup)--> --(near-dup cluster + keep
+         one representative per cluster)--> kept corpus
+
+Every leaf operator already has its own oracle-verified entry
+(text_analysis, dedup_exact, dedup_minhash_lsh, kg_connected_components
+in `__spark_entry__.queries()`); this plan wires them into the
+production shape a 100 TB pretraining-data pipeline runs, with the same
+checkpoint/resume contract as the KG pipeline.
+
+Shuffle accounting at scale:
+- annotate + filter are pure scan-projection (whole-stage codegen, no
+  shuffle, filters push down);
+- exact dedup: ONE shuffle on content hash;
+- near-dup: the payload-free LSH banding shuffle (id + 2 longs per
+  band), the bucket self-join, and a CC iteration over the *duplicate
+  pair* edge set — which is tiny relative to the corpus (pairs only
+  exist where near-duplicates exist);
+- representative selection: the CC component id IS the minimum member
+  id, so "keep the smallest doc of each near-dup cluster" is a single
+  anti-join of (node != component) assignments against the corpus — no
+  extra aggregation.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions import text_analysis as TA
+from ..operators.canonicalize import connected_components
+from ..operators.dedup import exact_dedup, minhash_lsh_pairs
+from .catalog import CheckpointCatalog
+
+
+@dataclass
+class CorpusResult:
+    kept: DataFrame
+    stats: dict[str, int] = field(default_factory=dict)
+
+
+def annotate_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """One scan projection: language id, quality score, token count,
+    content fingerprint. Pure Catalyst — annotating 10^12 docs adds no
+    stage and no shuffle."""
+    t = F.col(text_col)
+    return docs.withColumns(
+        {
+            "lang_pred": TA.lang_id(t),
+            "quality": TA.quality_score(t),
+            "n_tokens": TA.token_count(t),
+            "fingerprint": TA.content_fingerprint(t),
+        }
+    )
+
+
+def run_corpus_pipeline(
+    spark: SparkSession,
+    docs: DataFrame,
+    lang_allow: tuple[str, ...] | None = None,
+    min_quality: float | None = None,
+    min_tokens: int | None = None,
+    near_dup: bool = True,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    jaccard_threshold: float = 0.7,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    checkpoint_dir: str | None = None,
+    input_sig: str | None = None,
+    collect_stats: bool = True,
+) -> CorpusResult:
+    """docs -> deduplicated, filtered corpus. ``kept`` carries the
+    annotation columns plus ``content_hash``/``dup_count`` from exact
+    dedup. ``stats`` records per-stage surviving counts (one distributed
+    count per stage; skip with ``collect_stats=False`` for pure
+    throughput runs — checkpointed runs get the same numbers for free
+    from the lineage log)."""
+    sig = input_sig or f"docs|{docs.schema.simpleString()}"
+    conf = (
+        f"{lang_allow}|{min_quality}|{min_tokens}|{near_dup}|{n_hashes}"
+        f"|{bands}|{shingle_size}|{jaccard_threshold}"
+    )
+    cat = (
+        CheckpointCatalog(spark, checkpoint_dir) if checkpoint_dir else None
+    )
+    stats: dict[str, int] = {}
+    if collect_stats:
+        stats["input"] = docs.count()
+
+    ann = annotate_docs(docs, text_col)
+    cond = F.lit(True)
+    if lang_allow is not None:
+        cond = cond & F.col("lang_pred").isin(list(lang_allow))
+    if min_quality is not None:
+        cond = cond & (F.col("quality") >= float(min_quality))
+    if min_tokens is not None:
+        cond = cond & (F.col("n_tokens") >= int(min_tokens))
+    filtered = ann.filter(cond)
+    if cat:
+        filtered = cat.stage(
+            "corpus_filtered", f"{sig}|{conf}", lambda: filtered
+        )
+    if collect_stats:
+        stats["after_filter"] = filtered.count()
+
+    exact = exact_dedup(filtered, text_col=text_col, id_col=id_col)
+    if cat:
+        exact = cat.stage("corpus_exact", f"{sig}|{conf}", lambda: exact)
+    if collect_stats:
+        stats["after_exact"] = exact.count()
+
+    kept = exact
+    if near_dup:
+        pairs = minhash_lsh_pairs(
+            exact,
+            text_col=text_col,
+            id_col=id_col,
+            n_hashes=n_hashes,
+            bands=bands,
+            shingle_size=shingle_size,
+            jaccard_threshold=jaccard_threshold,
+        )
+        comp = connected_components(
+            pairs.select(
+                F.col("id_a").cast("string").alias("src"),
+                F.col("id_b").cast("string").alias("dst"),
+            )
+        )
+        # component id == min member id: every non-representative is a
+        # (node != component) row; one anti-join drops them all
+        losers = comp.filter(F.col("node") != F.col("component")).select(
+            F.col("node").cast(exact.schema[id_col].dataType).alias(id_col)
+        )
+        kept = exact.join(losers, id_col, "left_anti")
+        if cat:
+            kept = cat.stage("corpus_kept", f"{sig}|{conf}", lambda: kept)
+    if collect_stats:
+        stats["kept"] = kept.count()
+    return CorpusResult(kept=kept, stats=stats)

@@ -1,0 +1,96 @@
+"""Corpus preprocessing composition: leaf operators are oracle-verified
+individually (entry registry); here the COMPOSITION semantics are tested
+— filter rules, exact-dup representative choice, near-dup cluster
+representative via CC, checkpoint resume."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from ner_linking_demo_spark.operators.dedup import minhash_lsh_pairs
+from ner_linking_demo_spark.oracle.oracle import oracle_components
+from ner_linking_demo_spark.plans.corpus_pipeline import (
+    annotate_docs,
+    run_corpus_pipeline,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    base = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    n = base.count()
+    # plant exact + near duplicates with known ids above the base range
+    rows = base.orderBy("doc_id").limit(3).collect()
+    extra = [
+        # exact duplicate of doc 0 (higher id -> must be dropped)
+        (n + 100, rows[0]["text"], rows[0]["lang"], "dup", len(rows[0]["text"])),
+        # near duplicate of doc 1: append one word
+        (n + 101, rows[1]["text"] + " extra", rows[1]["lang"], "near",
+         len(rows[1]["text"]) + 6),
+    ]
+    extra_df = spark.createDataFrame(
+        extra, ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    return base.unionByName(extra_df)
+
+
+def test_corpus_pipeline_matches_python_composition(spark, docs):
+    res = run_corpus_pipeline(
+        spark, docs, min_quality=None, min_tokens=5, near_dup=True,
+        jaccard_threshold=0.5,
+    )
+    kept_ids = {r["doc_id"] for r in res.kept.select("doc_id").collect()}
+
+    # python oracle over trusted leaf outputs
+    ann = annotate_docs(docs).toPandas()
+    surv = ann[ann["n_tokens"] >= 5]
+    # exact: min doc_id per text
+    surv = surv.sort_values("doc_id").drop_duplicates("text", keep="first")
+    exact_df = docs.sparkSession.createDataFrame(
+        surv[["doc_id", "text"]]
+    )
+    pairs = minhash_lsh_pairs(
+        exact_df, jaccard_threshold=0.5
+    ).toPandas()
+    comp = oracle_components(
+        [(str(a), str(b)) for a, b in zip(pairs["id_a"], pairs["id_b"])]
+    )
+    drop = {int(n) for n, c in comp.items() if n != c}
+    want = set(surv["doc_id"]) - drop
+    assert kept_ids == want
+    assert res.stats["input"] == docs.count()
+    assert res.stats["after_filter"] == len(ann[ann["n_tokens"] >= 5])
+    assert res.stats["kept"] == len(want)
+    # the planted exact duplicate is gone, its original kept
+    n = docs.count() - 2
+    assert n + 100 not in kept_ids
+    # the planted near duplicate lost to its lower-id original
+    assert n + 101 not in kept_ids
+
+
+def test_corpus_pipeline_resume(spark, docs, tmp_path):
+    ck = str(tmp_path / "corpus_ck")
+    r1 = run_corpus_pipeline(
+        spark, docs, min_tokens=5, checkpoint_dir=ck, input_sig="v1",
+        collect_stats=False,
+    )
+    k1 = {r["doc_id"] for r in r1.kept.select("doc_id").collect()}
+    r2 = run_corpus_pipeline(
+        spark, docs, min_tokens=5, checkpoint_dir=ck, input_sig="v1",
+        collect_stats=False,
+    )
+    k2 = {r["doc_id"] for r in r2.kept.select("doc_id").collect()}
+    assert k1 == k2
+
+    from ner_linking_demo_spark.plans.catalog import CheckpointCatalog
+
+    resumed = {
+        s["table"]
+        for s in CheckpointCatalog(spark, ck).lineage()
+        if s.get("resumed")
+    }
+    assert {"corpus_filtered", "corpus_exact", "corpus_kept"} <= resumed
