@@ -143,6 +143,35 @@ def minhash_signatures_df(
     )
 
 
+def minhash_band_buckets(
+    sigs: DataFrame, n_hashes: int, bands: int
+) -> DataFrame:
+    """(id, sig) -> (id, sig, band, bucket): one row per LSH band, the
+    bucket being the hash of that band's signature slice. Shared by the
+    one-shot pair finder and the incremental signature store."""
+    rows_per_band = n_hashes // bands
+    return sigs.select(
+        "id",
+        "sig",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        F.concat_ws(
+                            ",",
+                            F.slice(
+                                F.col("sig"), b * rows_per_band + 1,
+                                rows_per_band,
+                            ).cast("array<string>"),
+                        )
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -159,7 +188,6 @@ def minhash_lsh_pairs(
     Buckets larger than ``max_bucket`` are dropped (boilerplate guard);
     callers audit drops via :func:`lsh_bucket_stats`.
     """
-    rows_per_band = n_hashes // bands
     sigs = minhash_signatures_df(
         df, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
         shingle_size=shingle_size,
@@ -168,24 +196,7 @@ def minhash_lsh_pairs(
     # explode, the bucket-size aggregation, or the bucket self-join. At
     # 100 TB the exploded/banded stream is `bands` rows of (id, 2 longs)
     # per doc, not `bands` copies of the page text (round-1 verdict item).
-    banded = sigs.select(
-        "id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        F.concat_ws(
-                            ",",
-                            F.slice(
-                                F.col("sig"), b * rows_per_band + 1, rows_per_band
-                            ).cast("array<string>"),
-                        )
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "bucket"),
-    )
+    banded = minhash_band_buckets(sigs, n_hashes, bands).drop("sig")
     # Bucket-size cap via groupBy().count() (map-side partial agg), not a
     # window over exploded rows; singleton buckets are dropped here too so
     # the self-join never sees keys that cannot produce a pair.

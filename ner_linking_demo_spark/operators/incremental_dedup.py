@@ -1,0 +1,189 @@
+"""Incremental near-duplicate detection: new batches vs an append-only
+MinHash signature store — the form corpus dedup actually takes in
+production, where "the corpus" is 10^12 historical documents you cannot
+re-shingle per batch.
+
+The store holds (id, sig, band, bucket) rows only — fixed-width numbers,
+never text — as a ``batch_id``-partitioned parquet layout with the same
+staging + atomic-directory-rename publish protocol as
+streaming/incremental.py (a replayed batch sees its published directory
+and skips; the append is idempotent).
+
+Per batch the work is:
+- shingle + MinHash ONLY the new docs (O(delta));
+- candidate pairs = banded(new) ⋈ banded(new) (intra-batch) ∪
+  banded(new) ⋈ store (vs history) on (band, bucket) — the new side is
+  delta-sized, so Spark broadcasts it against the store scan and the
+  10^12-row history is NEVER shuffled;
+- similarity = SIGNATURE-estimated Jaccard (fraction of agreeing
+  minhash components). Estimated, not exact, by design: the exact
+  verify would need history shingle sets, i.e. history text. With
+  ``n_hashes`` components the estimate's std-err is
+  sqrt(j(1-j)/n_hashes) (~0.12 at j=0.5, n=16); raise ``n_hashes`` in
+  the store when tighter bounds are needed — the store schema carries
+  the full signature for exactly this reason.
+
+Bucket skew (boilerplate buckets) is the same hazard as the one-shot
+path: hot (band, bucket) keys on the history side explode candidate
+counts. ``max_candidates_per_doc`` bounds the per-new-doc candidate set
+deterministically (best estimated matches kept), and AQE skew-join
+handles the join itself.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from ..plans.fs import catalog_fs
+from .dedup import minhash_band_buckets, minhash_signatures_df
+
+
+class SignatureStore:
+    """Append-only (id, sig, band, bucket) table, batch-partitioned with
+    atomic per-batch publishes. Driver-side control plane via plans/fs.py
+    (local or any scheme:// root)."""
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.data = f"{self.root}/data"
+        self.staging = f"{self.root}/_staging"
+        self.fs = catalog_fs(spark, self.root)
+        self.fs.mkdirs(self.data)
+        self.fs.mkdirs(self.staging)
+
+    def _batch_dir(self, batch_id: int | str) -> str:
+        return f"{self.data}/batch_id={batch_id}"
+
+    def has_batch(self, batch_id: int | str) -> bool:
+        return self.fs.exists(self._batch_dir(batch_id))
+
+    def append(self, banded: DataFrame, batch_id: int | str) -> bool:
+        """Publish one batch's banded signatures; no-op (False) if this
+        batch_id is already published — replay-idempotent."""
+        final = self._batch_dir(batch_id)
+        if self.fs.exists(final):
+            return False
+        staging = f"{self.staging}/batch-{batch_id}"
+        banded.select("id", "sig", "band", "bucket").write.mode(
+            "overwrite"
+        ).parquet(staging)
+        self.fs.rename(staging, final)
+        return True
+
+    def read(self) -> DataFrame | None:
+        """All published signatures (one parquet scan; the batch_id
+        partition column rides along for lineage/expiry)."""
+        if not any(
+            n.startswith("batch_id=") for n in self.fs.list_names(self.data)
+        ):
+            return None
+        return self.spark.read.option("basePath", self.data).parquet(
+            f"{self.data}/batch_id=*"
+        )
+
+
+def _estimated_jaccard(sig_a, sig_b) -> F.Column:
+    """Fraction of agreeing minhash components — the unbiased MinHash
+    estimator of Jaccard similarity."""
+    agree = F.aggregate(
+        F.zip_with(
+            sig_a, sig_b, lambda x, y: F.when(x == y, 1).otherwise(0)
+        ),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    return agree.cast("double") / F.size(sig_a)
+
+
+def incremental_neardup(
+    new_docs: DataFrame,
+    store: SignatureStore,
+    batch_id: int | str,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    est_threshold: float = 0.5,
+    max_candidates_per_doc: int = 64,
+) -> DataFrame:
+    """Detect near-duplicates of ``new_docs`` against the store AND
+    within the batch, then publish the batch's signatures.
+
+    Returns (doc_id, dup_of, est_jaccard, scope) where ``dup_of`` is the
+    matched historical/batch doc id and scope is 'history' or 'batch'
+    (intra-batch matches report the lower id as ``dup_of``). The batch
+    append is idempotent on ``batch_id``.
+    """
+    sigs = minhash_signatures_df(
+        new_docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
+        shingle_size=shingle_size,
+    )
+    banded = minhash_band_buckets(sigs, n_hashes, bands)
+
+    new_a = banded.select(
+        F.col("id").alias("doc_id"), F.col("sig").alias("sig_a"),
+        "band", "bucket",
+    )
+    # intra-batch: self-join, lower id wins as the representative
+    intra = (
+        new_a.join(
+            banded.select(
+                F.col("id").alias("dup_of"), F.col("sig").alias("sig_b"),
+                "band", "bucket",
+            ),
+            ["band", "bucket"],
+        )
+        .filter(F.col("dup_of") < F.col("doc_id"))
+        .withColumn("scope", F.lit("batch"))
+    )
+    history = store.read()
+    if history is not None:
+        # a replayed batch must not see its own published signatures as
+        # history (matches would not be reproducible); the batch_id
+        # partition column makes the exclusion a partition-pruned filter
+        history = history.filter(
+            F.col("batch_id").cast("string") != F.lit(str(batch_id))
+        )
+        cross = (
+            F.broadcast(new_a)
+            .join(
+                history.select(
+                    F.col("id").alias("dup_of"),
+                    F.col("sig").alias("sig_b"),
+                    "band", "bucket",
+                ),
+                ["band", "bucket"],
+            )
+            .withColumn("scope", F.lit("history"))
+        )
+        cand = intra.unionByName(cross)
+    else:
+        cand = intra
+
+    scored = (
+        cand.select(
+            "doc_id", "dup_of", "scope",
+            _estimated_jaccard(F.col("sig_a"), F.col("sig_b")).alias(
+                "est_jaccard"
+            ),
+        )
+        .dropDuplicates(["doc_id", "dup_of"])
+        .filter(F.col("est_jaccard") >= est_threshold)
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("est_jaccard"), F.asc("dup_of")
+    )
+    out = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_candidates_per_doc)
+        .drop("_rn")
+    )
+    # materialize matches BEFORE the append so a same-session caller
+    # cannot see this batch as its own history
+    out = out.localCheckpoint(eager=True)
+    store.append(banded, batch_id)
+    return out

@@ -1,0 +1,75 @@
+"""Incremental near-dup vs the append-only signature store: history
+matches, intra-batch matches, estimator sanity, replay idempotence."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_linking_demo_spark.operators.incremental_dedup import (
+    SignatureStore,
+    incremental_neardup,
+)
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+BASE = (
+    "el paciente presenta una evolución favorable con tratamiento de la "
+    "zona afectada y control periódico según protocolo clínico habitual"
+)
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return SignatureStore(spark, str(tmp_path / "sigstore"))
+
+
+def test_incremental_neardup_end_to_end(spark, store):
+    b1 = _docs(spark, [
+        (1, BASE),
+        (2, "texto completamente distinto sobre otros asuntos del informe "
+            "anual de resultados financieros y previsiones futuras"),
+    ])
+    m1 = incremental_neardup(b1, store, batch_id=1).collect()
+    assert m1 == []  # empty history, no intra dups
+    assert store.has_batch(1)
+
+    b2 = _docs(spark, [
+        (10, BASE),                        # exact copy of doc 1
+        (11, BASE + " con cambios"),       # near copy of doc 1
+        (12, "contenido nuevo sin parecido alguno con nada anterior en "
+             "este corpus de documentos sintéticos de prueba"),
+        (13, "contenido nuevo sin parecido alguno con nada anterior en "
+             "este corpus de documentos sintéticos de prueba"),  # intra dup of 12
+    ])
+    m2 = incremental_neardup(b2, store, batch_id=2)
+    rows = {(r["doc_id"], r["dup_of"]): r for r in m2.collect()}
+
+    assert (10, 1) in rows and rows[(10, 1)]["scope"] == "history"
+    assert rows[(10, 1)]["est_jaccard"] == 1.0  # exact copy -> estimator 1
+    assert (11, 1) in rows  # near copy caught via shared band bucket
+    assert (13, 12) in rows and rows[(13, 12)]["scope"] == "batch"
+    assert rows[(13, 12)]["est_jaccard"] == 1.0
+    assert not any(d == 12 for (d, _) in rows)  # novel doc matches nothing
+
+    # replay of batch 2: store unchanged, matches identical
+    n_store = store.read().count()
+    m2r = incremental_neardup(b2, store, batch_id=2)
+    assert {(r["doc_id"], r["dup_of"]) for r in m2r.collect()} == set(rows)
+    assert store.read().count() == n_store
+
+    # batch 3 sees batch-2 docs as history now
+    b3 = _docs(spark, [(20, BASE)])
+    m3 = {(r["doc_id"], r["dup_of"]) for r in
+          incremental_neardup(b3, store, batch_id=3).collect()}
+    assert (20, 1) in m3 and (20, 10) in m3
+
+
+def test_store_never_carries_text(spark, store):
+    b = _docs(spark, [(1, BASE)])
+    incremental_neardup(b, store, batch_id=1)
+    cols = set(store.read().columns)
+    assert cols == {"id", "sig", "band", "bucket", "batch_id"}
