@@ -109,6 +109,7 @@ def incremental_neardup(
     shingle_size: int = 3,
     est_threshold: float = 0.5,
     max_candidates_per_doc: int = 64,
+    eager_isolation: bool = True,
 ) -> DataFrame:
     """Detect near-duplicates of ``new_docs`` against the store AND
     within the batch, then publish the batch's signatures.
@@ -182,8 +183,10 @@ def incremental_neardup(
         .filter(F.col("_rn") <= max_candidates_per_doc)
         .drop("_rn")
     )
-    # materialize matches BEFORE the append so a same-session caller
-    # cannot see this batch as its own history
-    out = out.localCheckpoint(eager=True)
-    store.append(banded, batch_id)
+    if eager_isolation:
+        # materialize matches BEFORE the append so a same-session caller
+        # cannot see this batch as its own history (False = plan-audit
+        # mode: leaves the join tree visible, skips the store append)
+        out = out.localCheckpoint(eager=True)
+        store.append(banded, batch_id)
     return out

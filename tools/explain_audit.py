@@ -195,6 +195,72 @@ def main() -> int:
         nodes(p, "MapInPandas") == 1 and nodes(p, "Scan parquet") == 1,
     )
 
+    # round-3 additions: corpus pipeline, html extraction, incremental
+    # dedup store
+    from ner_linking_demo_spark.plans.corpus_pipeline import (
+        annotate_docs,
+        run_corpus_pipeline,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    p = plan_of(annotate_docs(docs).filter("n_tokens >= 5"))
+    failures += not check(
+        "corpus annotate+filter: scan projection, zero exchange",
+        nodes(p, "Exchange") == 0 and nodes(p, "Scan parquet") == 1,
+    )
+    p = plan_of(
+        run_corpus_pipeline(
+            spark, docs, min_tokens=5, near_dup=False, collect_stats=False
+        ).kept
+    )
+    failures += not check(
+        "corpus exact dedup: exactly one exchange (content hash)",
+        nodes(p, "Exchange") == 1,
+        f"exchanges={nodes(p, 'Exchange')}",
+    )
+
+    from ner_linking_demo_spark.functions.html_extract import (
+        extract_text_expr,
+    )
+    from ner_linking_demo_spark.sources import fixtures as FX
+
+    gaz = FX.gen_gazetteer(n_codes=10)
+    pages = FX.pages_to_spark(spark, FX.gen_pages(n_pages=5, gazetteer=gaz))
+    p = plan_of(
+        pages.withColumn("text", extract_text_expr("html")).select(
+            "url", "text"
+        )
+    )
+    failures += not check(
+        "html extraction: no UDF, no exchange (pure codegen projection)",
+        nodes(p, "Exchange") == 0
+        and nodes(p, "MapInPandas") == 0
+        and "ArrowEvalPython" not in p,
+    )
+
+    import tempfile
+
+    from ner_linking_demo_spark.operators.incremental_dedup import (
+        SignatureStore,
+        incremental_neardup,
+    )
+
+    with tempfile.TemporaryDirectory(prefix="nlds_audit_store_") as d:
+        store = SignatureStore(spark, d)
+        incremental_neardup(
+            docs.filter("doc_id < 50"), store, batch_id=1
+        ).count()
+        m = incremental_neardup(
+            docs.filter("doc_id < 20"), store, batch_id=2,
+            eager_isolation=False,
+        )
+        p = plan_of(m)
+        failures += not check(
+            "incremental dedup: delta side broadcast vs store "
+            "(history never shuffled)",
+            "BroadcastHashJoin" in p,
+        )
+
     print(f"\n{failures} failures")
     spark.stop()
     return 1 if failures else 0
