@@ -8,6 +8,7 @@ For incremental ingest the same pipeline body runs under
 an arriving-pages stream can reuse every batch operator unchanged.
 """
 
+from .corpus import incremental_corpus_pipeline  # noqa: F401
 from .dedup import streaming_exact_dedup  # noqa: F401
 from .incremental import incremental_pipeline  # noqa: F401
 from .windowed import (  # noqa: F401

@@ -1,0 +1,96 @@
+"""Incremental corpus preprocessing: the streaming form of
+plans/corpus_pipeline.py — new document batches are annotated, filtered
+and deduplicated AGAINST ALL PREVIOUSLY SEEN DATA via the append-only
+signature store (operators/incremental_dedup.py), then published
+per-batch with the atomic-rename commit protocol.
+
+Exactly-once composition: three effects per micro-batch — signature
+append, kept publish — are each idempotent on ``batch_id`` (published
+directory = commit record; a replayed batch is excluded from its own
+history, so its match set recomputes identically). A crash between the
+store append and the kept publish replays into the same result.
+
+Cross-batch semantics: an exact duplicate of ANY earlier doc has an
+identical MinHash signature (estimated Jaccard 1.0) and a near
+duplicate shares band buckets — both are dropped by the same
+``est_threshold`` gate, so exact + near dedup against history is one
+mechanism, O(delta) per batch.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.incremental_dedup import SignatureStore, incremental_neardup
+from ..plans.corpus_pipeline import annotate_docs
+from ..plans.fs import catalog_fs
+
+
+def incremental_corpus_pipeline(
+    spark: SparkSession,
+    docs_stream: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    store_dir: str | None = None,
+    lang_allow: tuple[str, ...] | None = None,
+    min_quality: float | None = None,
+    min_tokens: int | None = None,
+    n_hashes: int = 16,
+    bands: int = 4,
+    shingle_size: int = 3,
+    est_threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    trigger_once: bool = True,
+):
+    """docs readStream -> per-batch annotate/filter/dedup-vs-history ->
+    ``out_dir/kept/batch_id=N`` parquet publishes. Read results back with
+    ``spark.read.parquet(f"{out_dir}/kept")``."""
+    root = out_dir.rstrip("/")
+    kept_root = f"{root}/kept"
+    staging_root = f"{root}/_staging"
+    fs = catalog_fs(spark, root)
+    fs.mkdirs(kept_root)
+    fs.mkdirs(staging_root)
+    store = SignatureStore(spark, store_dir or f"{root}/_sigstore")
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        final = f"{kept_root}/batch_id={batch_id}"
+        if fs.exists(final):
+            return  # replayed batch: already published atomically
+        ann = annotate_docs(batch_df, text_col)
+        cond = F.lit(True)
+        if lang_allow is not None:
+            cond = cond & F.col("lang_pred").isin(list(lang_allow))
+        if min_quality is not None:
+            cond = cond & (F.col("quality") >= float(min_quality))
+        if min_tokens is not None:
+            cond = cond & (F.col("n_tokens") >= int(min_tokens))
+        filtered = ann.filter(cond)
+        matches = incremental_neardup(
+            filtered,
+            store,
+            batch_id,
+            text_col=text_col,
+            id_col=id_col,
+            n_hashes=n_hashes,
+            bands=bands,
+            shingle_size=shingle_size,
+            est_threshold=est_threshold,
+        )
+        dup_ids = matches.select(
+            F.col("doc_id").alias(id_col)
+        ).distinct()
+        kept = filtered.join(dup_ids, id_col, "left_anti")
+        staging = f"{staging_root}/kept-{batch_id}"
+        kept.write.mode("overwrite").parquet(staging)
+        fs.rename(staging, final)  # atomic publish == commit record
+
+    writer = (
+        docs_stream.writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if trigger_once:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

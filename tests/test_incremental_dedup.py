@@ -73,3 +73,62 @@ def test_store_never_carries_text(spark, store):
     incremental_neardup(b, store, batch_id=1)
     cols = set(store.read().columns)
     assert cols == {"id", "sig", "band", "bucket", "batch_id"}
+
+
+@pytest.mark.filterwarnings("ignore")
+def test_streaming_corpus_pipeline(spark, tmp_path):
+    """Two micro-batches: batch 2's duplicates of batch-1 docs are
+    dropped against the signature store; restart replay changes
+    nothing; kept set equals the sequential-batch oracle."""
+    import os
+
+    from ner_linking_demo_spark.streaming import incremental_corpus_pipeline
+
+    b1 = [
+        (1, BASE),
+        (2, "texto completamente distinto sobre otros asuntos del informe "
+            "anual de resultados financieros y previsiones futuras"),
+    ]
+    b2 = [
+        (10, BASE),                   # dup of batch-1 doc 1 -> dropped
+        (11, "documento nuevo con contenido original que no se parece a "
+             "ningún otro documento visto hasta ahora en absoluto"),
+        (12, "x"),                    # fails min_tokens filter
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(b1, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.createDataFrame(b2, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = incremental_corpus_pipeline(
+        spark, stream, out_dir=out,
+        checkpoint_dir=str(tmp_path / "sck"), min_tokens=3,
+    )
+    q.awaitTermination(120)
+
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "kept")).collect()
+    }
+    assert kept == {1, 2, 11}
+
+    # restart: no new files -> nothing changes
+    q2 = incremental_corpus_pipeline(
+        spark, stream, out_dir=out,
+        checkpoint_dir=str(tmp_path / "sck"), min_tokens=3,
+    )
+    q2.awaitTermination(120)
+    kept2 = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "kept")).collect()
+    }
+    assert kept2 == kept
