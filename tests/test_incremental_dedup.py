@@ -132,3 +132,45 @@ def test_streaming_corpus_pipeline(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(out, "kept")).collect()
     }
     assert kept2 == kept
+
+
+def test_store_compaction(spark, store):
+    """Folding old batches into a consolidated partition changes no
+    match results, keeps replay guards, and GCs the dust dirs."""
+    import os
+
+    for b, docs in enumerate([
+        [(1, BASE)],
+        [(2, BASE + " dos")],
+        [(3, "contenido completamente diferente de los demás documentos "
+             "con palabras que no comparte con ningún otro texto")],
+    ]):
+        incremental_neardup(_docs(spark, docs), store, batch_id=b)
+    before = store.read().count()
+    n_dirs_before = len(os.listdir(store.data))
+    assert n_dirs_before == 3
+
+    upto = store.compact(target_file_bytes=1 << 30)
+    assert upto == 1  # latest batch (2) untouched
+    assert store.read().count() == before
+    dirs = sorted(os.listdir(store.data))
+    assert dirs == ["batch_id=2", "batch_id=__c1"]
+    assert store.has_batch(0) and store.has_batch(1) and store.has_batch(2)
+    assert not store.has_batch(7)
+
+    # idempotent: immediate re-compact with nothing new is a no-op
+    assert store.compact() == -1
+
+    # replayed covered batch: append refuses, history still matches
+    assert store.append(None, 1) is False
+    m = incremental_neardup(
+        _docs(spark, [(20, BASE)]), store, batch_id=4
+    )
+    assert {(r["doc_id"], r["dup_of"]) for r in m.collect()} >= {(20, 1)}
+
+    # a later compaction folds the next tier and preserves results
+    assert store.compact(target_file_bytes=1 << 30) == 2
+    m2 = incremental_neardup(
+        _docs(spark, [(21, BASE)]), store, batch_id=5
+    )
+    assert {(r["doc_id"], r["dup_of"]) for r in m2.collect()} >= {(21, 1), (21, 20)}
