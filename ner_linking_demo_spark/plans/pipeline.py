@@ -34,6 +34,19 @@ class PipelineResult:
     entities: DataFrame
     triples: DataFrame
     edges: DataFrame
+    observations: dict = None
+
+    def metrics(self) -> dict[str, int]:
+        """Runtime row counters for the FUSED (no-checkpoint) plan,
+        collected by CollectMetrics observations riding the triples
+        action — zero extra jobs. Valid after any action on ``triples``
+        (checkpointed runs get richer per-partition counters from the
+        catalog lineage instead)."""
+        if not self.observations:
+            return {}
+        return {
+            name: int(obs.get["n"]) for name, obs in self.observations.items()
+        }
 
 
 def _sig(*parts) -> str:
@@ -84,6 +97,7 @@ def run_pipeline(
         CheckpointCatalog(spark, checkpoint_dir) if checkpoint_dir else None
     )
 
+    observations = None
     gazetteer_df = spark.createDataFrame(
         gazetteer_pdf[["label", "code", "term", "semantic_tag"]]
     )
@@ -109,7 +123,18 @@ def run_pipeline(
             ),
         )
     elif reranker is None:
-        # throughput plan: pages -> linked in ONE python UDF stage
+        # throughput plan: pages -> linked in ONE python UDF stage;
+        # counters ride the plan as CollectMetrics observations (the
+        # north-rule metrics requirement without a lineage-taxing job)
+        from pyspark.sql import Observation
+
+        observations = {
+            "pages_in": Observation(),
+            "linked_out": Observation(),
+        }
+        pages = pages.observe(
+            observations["pages_in"], F.count(F.lit(1)).alias("n")
+        )
         linked = detect_and_link(
             pages,
             gazetteer_pdf,
@@ -117,7 +142,7 @@ def run_pipeline(
             k=k,
             embedder=embedder,
             num_partitions=num_partitions,
-        )
+        ).observe(observations["linked_out"], F.count(F.lit(1)).alias("n"))
         mentions = linked.select("url", "label", "start", "end", "span")
     else:
         mentions = detect_mentions(
@@ -153,6 +178,7 @@ def run_pipeline(
         entities=entities_df,
         triples=triples,
         edges=edges,
+        observations=observations,
     )
 
 

@@ -361,3 +361,24 @@ def test_fused_link_partition_with_zero_mentions(spark):
     assert [f.name for f in only_empty.schema.fields] == [
         "url", "start", "end", "label", "span", "codes", "scores"
     ]
+
+
+def test_fused_plan_observation_metrics(spark, tmp_path):
+    """No-checkpoint runs expose runtime counters via CollectMetrics —
+    values equal actual counts, no extra jobs; checkpointed runs report
+    {} (their counters live in the catalog lineage)."""
+    from ner_linking_demo_spark.plans.pipeline import run_pipeline
+    from ner_linking_demo_spark.sources import fixtures as FX
+
+    gaz = FX.gen_gazetteer(n_codes=12)
+    pages = FX.pages_to_spark(spark, FX.gen_pages(n_pages=15, gazetteer=gaz))
+    res = run_pipeline(spark, pages, gaz, k=3)
+    res.triples.write.format("noop").mode("overwrite").save()
+    m = res.metrics()
+    assert m["pages_in"] == 15
+    assert m["linked_out"] == res.linked.count()
+
+    ck = run_pipeline(
+        spark, pages, gaz, k=3, checkpoint_dir=str(tmp_path / "ck")
+    )
+    assert ck.metrics() == {}
