@@ -57,6 +57,40 @@ class SignatureStore:
     def _batch_dir(self, batch_id: int | str) -> str:
         return f"{self.data}/batch_id={batch_id}"
 
+    # -- hashing-parameter pinning ---------------------------------------
+    # Signatures are only comparable under identical (n_hashes, bands,
+    # shingle_size); the first append pins them in _PARAMS.json and every
+    # later call must match — a silent mismatch would band-join different
+    # signature layouts and report near-zero similarity (false negatives).
+    def params(self) -> dict | None:
+        import json
+
+        p = f"{self.root}/_PARAMS.json"
+        if not self.fs.exists(p):
+            return None
+        return json.loads(self.fs.read_text(p))
+
+    def pin_params(
+        self, n_hashes: int, bands: int, shingle_size: int
+    ) -> None:
+        import json
+
+        want = {
+            "n_hashes": int(n_hashes),
+            "bands": int(bands),
+            "shingle_size": int(shingle_size),
+        }
+        have = self.params()
+        if have is None:
+            self.fs.write_text(
+                f"{self.root}/_PARAMS.json", json.dumps(want)
+            )
+        elif have != want:
+            raise ValueError(
+                f"signature store at {self.root} was built with {have}; "
+                f"caller passed {want} — signatures are not comparable"
+            )
+
     def has_batch(self, batch_id: int | str) -> bool:
         if self.fs.exists(self._batch_dir(batch_id)):
             return True
@@ -198,11 +232,17 @@ def incremental_neardup(
     (intra-batch matches report the lower id as ``dup_of``). The batch
     append is idempotent on ``batch_id``.
     """
+    store.pin_params(n_hashes, bands, shingle_size)
     sigs = minhash_signatures_df(
         new_docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
         shingle_size=shingle_size,
     )
     banded = minhash_band_buckets(sigs, n_hashes, bands)
+    if eager_isolation:
+        # one materialization feeds the intra join, the history join AND
+        # the store append — without it the shingle+MinHash plan executes
+        # once per consumer
+        banded = banded.localCheckpoint(eager=True)
 
     new_a = banded.select(
         F.col("id").alias("doc_id"), F.col("sig").alias("sig_a"),

@@ -92,7 +92,9 @@ def pack_sequences(
             for doc_id, n_tok in zip(pdf["id"], pdf["n_tok"]):
                 n_tok = int(n_tok)
                 if n_tok > max_tokens:
-                    bins.append([0, [int(doc_id)], n_tok])
+                    # remaining = -1: an oversize singleton never accepts
+                    # more docs (a 0-token doc would match remaining 0)
+                    bins.append([-1, [int(doc_id)], n_tok])
                     continue
                 for b in bins:
                     if b[0] >= n_tok:

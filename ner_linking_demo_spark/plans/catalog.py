@@ -140,8 +140,19 @@ class CheckpointCatalog:
             out = self.spark.read.table(f"{self.ns}.{table}")
             snap = "iceberg"
         else:
-            ptr = self._read_pointer(table)
-            n = (ptr["seq"] + 1) if ptr else 0
+            # next seq considers EVERY snap-* dir, including ones without
+            # _META.json (pre-rename-commit checkpoints, partial copies):
+            # readers ignore them, but the publish rename must never
+            # target an existing directory
+            tdir = self._tdir(table)
+            seqs = [
+                int(m.group(1))
+                for name in (
+                    self.fs.list_names(tdir) if self.fs.exists(tdir) else []
+                )
+                if (m := _SNAP_RE.fullmatch(name))
+            ]
+            n = (max(seqs) + 1) if seqs else 0
             snap = f"snap-{n:05d}"
             staging = f"{self.base}/_staging/{table}/{snap}"
             final = f"{self._tdir(table)}/{snap}"

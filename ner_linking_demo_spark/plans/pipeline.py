@@ -80,7 +80,11 @@ def run_pipeline(
     if from_html:
         from ..functions.html_extract import extract_text_expr
 
-        pages = pages.withColumn("text", extract_text_expr("html"))
+        # extraction failures yield NULL text; drop them at the boundary
+        # (count them with verify_text_fidelity / an observe() if needed)
+        pages = pages.withColumn(
+            "text", extract_text_expr("html")
+        ).filter(F.col("text").isNotNull())
     embedder = embedder or HashEmbedder()
     # Content hash, not row count: editing a term/code/tag without changing
     # the row count must invalidate every dependent snapshot.

@@ -19,9 +19,11 @@ Format handling (WARC/1.0, ISO 28500 — a public standard):
   (Common Crawl gzips per-record so ranges are seekable; decompressing
   the whole member stream is equivalent for full-file reads).
 
-The parser is an iterator over byte offsets — O(1) state per record, so
-a 1 GB archive never materializes more than one record at a time beyond
-Arrow batching.
+The parser streams: records are read header-by-header from a (possibly
+gzip-wrapped) file object and yielded in bounded chunks, so a task holds
+the compressed archive bytes (inherent to the binaryFile source) plus
+O(chunk) parsed records — never the whole decompressed archive or a
+full record list.
 """
 
 from __future__ import annotations
@@ -38,28 +40,30 @@ _PAGES_SCHEMA = (
 )
 
 
-def _split_records(data: bytes) -> Iterator[dict]:
-    """Yield {'headers': dict, 'payload': bytes} per WARC record."""
-    pos = 0
-    n = len(data)
-    while pos < n:
-        head = data.find(b"WARC/", pos)
-        if head < 0:
-            return
-        hdr_end = data.find(b"\r\n\r\n", head)
-        if hdr_end < 0:
+def _stream_records(f) -> Iterator[dict]:
+    """Yield {'headers': dict, 'payload': bytes} per WARC record, reading
+    the stream incrementally — state per record is the record itself."""
+    while True:
+        # seek the next record header line
+        line = f.readline()
+        while line and not line.startswith(b"WARC/"):
+            line = f.readline()
+        if not line:
             return
         headers: dict[str, str] = {}
-        for line in data[head:hdr_end].split(b"\r\n")[1:]:
+        while True:
+            line = f.readline()
+            if not line or line in (b"\r\n", b"\n"):
+                break
             k, _, v = line.partition(b":")
             headers[k.strip().decode("ascii", "replace").lower()] = (
                 v.strip().decode("utf-8", "replace")
             )
         length = int(headers.get("content-length", 0))
-        body_start = hdr_end + 4
-        payload = data[body_start:body_start + length]
+        payload = f.read(length)
+        if payload is None or len(payload) < length:
+            return  # truncated archive tail
         yield {"headers": headers, "payload": payload}
-        pos = body_start + length
 
 
 def _http_body(payload: bytes) -> bytes:
@@ -75,11 +79,14 @@ def parse_warc_bytes(
     data: bytes, record_types: tuple[str, ...]
 ) -> Iterator[tuple[str, pd.Timestamp, bytes]]:
     """(url, warc_ts, html) triples from one archive's bytes (gzip or
-    plain)."""
+    plain), decompressing as a STREAM — the decompressed archive is
+    never materialized whole."""
     if data[:2] == b"\x1f\x8b":
         # multi-member gzip: GzipFile reads every member in sequence
-        data = gzip.GzipFile(fileobj=io.BytesIO(data)).read()
-    for rec in _split_records(data):
+        f = gzip.GzipFile(fileobj=io.BytesIO(data))
+    else:
+        f = io.BytesIO(data)
+    for rec in _stream_records(f):
         h = rec["headers"]
         if h.get("warc-type") not in record_types:
             continue
@@ -106,13 +113,22 @@ def read_warc(
     64 MB whole-file rows never pass through a shuffle."""
     files = spark.read.format("binaryFile").load(path)
 
+    CHUNK = 256  # records per yielded Arrow batch — bounds task memory
+
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             for _, row in pdf.iterrows():
-                recs = list(parse_warc_bytes(row["content"], record_types))
-                if recs:
+                buf: list = []
+                for rec in parse_warc_bytes(row["content"], record_types):
+                    buf.append(rec)
+                    if len(buf) >= CHUNK:
+                        yield pd.DataFrame(
+                            buf, columns=["url", "warc_ts", "html"]
+                        )
+                        buf = []
+                if buf:
                     yield pd.DataFrame(
-                        recs, columns=["url", "warc_ts", "html"]
+                        buf, columns=["url", "warc_ts", "html"]
                     )
 
     return files.select("content").mapInPandas(parse, schema=_PAGES_SCHEMA)
@@ -132,9 +148,12 @@ def pages_from_warc(
 
     pages = read_warc(spark, path, record_types)
     pages = pages.withColumn("text", extract_text_expr("html"))
-    return pages.withColumn(
-        "lang", F.when(F.col("text").isNotNull(), lang_id(F.col("text")))
-    ).select("url", "warc_ts", "html", "text", "lang")
+    # rows whose bytes the extractor rejects (text NULL) are dropped HERE,
+    # at the boundary — NULL text must never reach the NER/linking UDFs
+    pages = pages.filter(F.col("text").isNotNull())
+    return pages.withColumn("lang", lang_id(F.col("text"))).select(
+        "url", "warc_ts", "html", "text", "lang"
+    )
 
 
 def write_warc_fixture(

@@ -36,31 +36,8 @@ from ..operators.canonicalize import (
     incremental_components,
 )
 from ..plans.catalog import CheckpointCatalog
+from ..plans.fs import catalog_fs
 from ..plans.pipeline import run_pipeline
-
-
-class _HadoopFS:
-    """Thin wrapper over ``org.apache.hadoop.fs.FileSystem`` resolved
-    from the path's scheme — exists/rename/mkdirs work uniformly for
-    file://, hdfs://, s3a://... (driver-side control-plane calls only;
-    data still moves through Spark writers)."""
-
-    def __init__(self, spark: SparkSession, root: str):
-        jvm = spark._jvm
-        self._Path = jvm.org.apache.hadoop.fs.Path
-        self._fs = self._Path(root).getFileSystem(
-            spark._jsc.hadoopConfiguration()
-        )
-
-    def exists(self, path: str) -> bool:
-        return self._fs.exists(self._Path(path))
-
-    def mkdirs(self, path: str) -> None:
-        self._fs.mkdirs(self._Path(path))
-
-    def rename(self, src: str, dst: str) -> None:
-        if not self._fs.rename(self._Path(src), self._Path(dst)):
-            raise IOError(f"publish rename failed: {src} -> {dst}")
 
 
 def incremental_pipeline(
@@ -95,7 +72,7 @@ def incremental_pipeline(
     root = out_dir.rstrip("/")
     triples_root = f"{root}/triples"
     staging_root = f"{root}/_staging"
-    fs = _HadoopFS(spark, root)
+    fs = catalog_fs(spark, root)
     fs.mkdirs(triples_root)
     fs.mkdirs(staging_root)
 
@@ -105,17 +82,21 @@ def incremental_pipeline(
         else None
     )
 
-    def _fold_entities(res, batch_id: int) -> None:
+    def _fold_entities(triples_path: str, batch_id: int) -> None:
         ptr = state._read_pointer("entities_cc")
         if ptr and ptr.get("input_sig"):
             upto = int(ptr["input_sig"].rsplit("-", 1)[1])
             if upto >= batch_id:
                 return  # replayed batch: already folded into this state
+        # derive edges from the batch's PUBLISHED triples (rank 0 = the
+        # top-linked code) — the pipeline executes exactly once per
+        # batch (for the publish write); the fold re-reads its snapshot
         new_edges = (
-            res.linked.select(
+            spark.read.parquet(triples_path)
+            .filter(F.col("rank") == 0)
+            .select(
                 F.concat(F.lit("sf:"), F.lower("span")).alias("src"),
-                # rank-1 code: first element of the top-k codes array
-                F.concat(F.lit("c:"), F.element_at("codes", 1)).alias("dst"),
+                F.concat(F.lit("c:"), F.col("code")).alias("dst"),
             )
             .where(F.col("dst").isNotNull())
             .distinct()
@@ -138,10 +119,10 @@ def incremental_pipeline(
         if fs.exists(final):
             # replayed micro-batch: triples already published atomically;
             # still make sure the entity fold for this batch landed (a
-            # crash BETWEEN triples publish and state write re-runs here)
+            # crash BETWEEN triples publish and state write re-runs
+            # here — from the published snapshot, no pipeline re-run)
             if state is not None:
-                res = run_pipeline(spark, batch_df, gazetteer_pdf, k=k)
-                _fold_entities(res, batch_id)
+                _fold_entities(final, batch_id)
             return
         res = run_pipeline(spark, batch_df, gazetteer_pdf, k=k)
         staging = f"{staging_root}/batch-{batch_id}"
@@ -149,7 +130,7 @@ def incremental_pipeline(
         res.triples.write.mode("overwrite").parquet(staging)
         fs.rename(staging, final)  # single atomic publish == commit record
         if state is not None:
-            _fold_entities(res, batch_id)
+            _fold_entities(final, batch_id)
 
     writer = (
         pages_stream.writeStream.foreachBatch(process)

@@ -174,3 +174,18 @@ def test_store_compaction(spark, store):
         _docs(spark, [(21, BASE)]), store, batch_id=5
     )
     assert {(r["doc_id"], r["dup_of"]) for r in m2.collect()} >= {(21, 1), (21, 20)}
+
+
+def test_store_pins_hash_params(spark, store):
+    """The first append pins (n_hashes, bands, shingle_size); later
+    calls with different params must refuse — mismatched layouts would
+    silently produce near-zero similarity."""
+    incremental_neardup(_docs(spark, [(1, BASE)]), store, batch_id=1)
+    assert store.params() == {
+        "n_hashes": 16, "bands": 4, "shingle_size": 3,
+    }
+    with pytest.raises(ValueError, match="not comparable"):
+        incremental_neardup(
+            _docs(spark, [(2, BASE)]), store, batch_id=2, n_hashes=32,
+            bands=8,
+        )

@@ -15,7 +15,7 @@ def _oracle_firstfit(items, max_tokens):
     bins = []
     for i, n in items:
         if n > max_tokens:
-            bins.append([0, [i], n])
+            bins.append([-1, [i], n])
             continue
         for b in bins:
             if b[0] >= n:

@@ -165,3 +165,18 @@ def test_config_change_invalidates_dependent_stages(spark, tmp_path, golden_page
     sigs = {s["input_sig"] for s in mention_stages}
     assert len(sigs) == 2  # original + edited-gazetteer signature
     assert r3.triples.count() > 0
+
+
+def test_write_skips_over_unpublished_snap_dirs(spark, tmp_path):
+    """A snap dir WITHOUT _META.json (pre-rename-commit checkpoint or a
+    partial copy) is invisible to readers but must still be skipped by
+    the seq numbering — publishing must never rename onto it."""
+    import os
+
+    cat = CheckpointCatalog(spark, str(tmp_path / "mig"))
+    os.makedirs(str(tmp_path / "mig/t/snap-00000"), exist_ok=True)
+    cat.write(spark.range(3).toDF("id"), "t", input_sig="s")
+    assert cat._read_pointer("t")["snapshot"] == "snap-00001"
+    assert cat.read("t").count() == 3
+    cat.write(spark.range(4).toDF("id"), "t", input_sig="s2")
+    assert cat.read("t").count() == 4
