@@ -37,6 +37,12 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     ap.add_argument("--partitions", type=int, default=None)
     ap.add_argument("--input-sig", default=None, help="resume signature")
     ap.add_argument(
+        "--dedup-pages", action="store_true",
+        help="deduplicate pages before KG construction (exact + MinHash "
+        "near-dup via the corpus pipeline; keeps one representative per "
+        "duplicate cluster, lowest url-hash wins)",
+    )
+    ap.add_argument(
         "--from-html", action="store_true",
         help="derive text from the html column (native byte-exact "
         "extractor) instead of reading the text column",
@@ -94,6 +100,24 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     else:
         pages = spark.read.table(args.pages)
     gaz = pd.read_csv(args.gazetteer, sep="\t", dtype={"code": str})
+
+    if args.dedup_pages:
+        # web corpora are full of boilerplate duplicates: drop them BEFORE
+        # paying NER/linking compute. One representative per exact/near
+        # duplicate cluster survives (deterministic: lowest url-hash).
+        from pyspark.sql import functions as F
+
+        from ner_linking_demo_spark.plans.corpus_pipeline import (
+            run_corpus_pipeline,
+        )
+
+        docs = pages.select(
+            F.xxhash64("url").alias("doc_id"), "url", "text"
+        )
+        kept = run_corpus_pipeline(
+            spark, docs, near_dup=True, collect_stats=False
+        ).kept.select("url")
+        pages = pages.join(kept, "url", "left_semi")
 
     res = run_pipeline(
         spark,

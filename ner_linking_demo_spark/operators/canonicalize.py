@@ -130,8 +130,11 @@ def connected_components(
             pairs = [(r["src"], r["dst"]) for r in e.collect()]
             comp = _driver_union_find(pairs)
             spark = edges.sparkSession
+            # explicit schema: an empty edge set (e.g. a corpus with no
+            # near-duplicate pairs) must yield a schema-stable empty
+            # result, not a CANNOT_INFER_EMPTY_SCHEMA error
             return spark.createDataFrame(
-                sorted(comp.items()), ["node", "component"]
+                sorted(comp.items()), schema="node string, component string"
             )
     all_nodes = (
         e.select(F.col("src").alias("node"))

@@ -117,3 +117,18 @@ def test_incremental_untouched_components_stable(spark):
         "c1": "c1", "c2": "c1",          # untouched, verbatim
         "d1": "d1", "d2": "d1",          # new nodes, new component
     }
+
+
+def test_cc_empty_edges_schema_stable(spark):
+    """An empty edge set yields a schema-stable empty assignment on BOTH
+    physical paths (regression: the driver path crashed with
+    CANNOT_INFER_EMPTY_SCHEMA — hit by any corpus with no near-dup pairs)."""
+    from ner_linking_demo_spark.operators.canonicalize import (
+        connected_components,
+    )
+
+    empty = spark.createDataFrame([], "src string, dst string")
+    for thresh in (200_000, 0):
+        out = connected_components(empty, driver_threshold=thresh)
+        assert out.count() == 0
+        assert [f.name for f in out.schema.fields] == ["node", "component"]

@@ -99,3 +99,37 @@ def test_cli_maintenance_expire_and_compact(spark, tmp_path):
     assert {"mentions", "linked", "triples", "edges"} <= {
         s["table"] for s in resumed
     }
+
+
+def test_cli_dedup_pages(spark, tmp_path):
+    """--dedup-pages: a duplicated page contributes its triples exactly
+    once (one representative survives the pre-NER dedup)."""
+    import duckdb
+
+    gaz = FX.gen_gazetteer(n_codes=10)
+    tsv = tmp_path / "gaz.tsv"
+    gaz.to_csv(tsv, sep="\t", index=False)
+
+    pages = FX.gen_pages(n_pages=8, gazetteer=gaz)
+    dup = pages.iloc[[0]].copy()
+    dup["url"] = ["https://dup.example/copy"]
+    import pandas as pd
+
+    pages2 = pd.concat([pages, dup], ignore_index=True)
+    pages_dir = tmp_path / "pages"
+    FX.pages_to_spark(spark, pages2).write.parquet(str(pages_dir))
+
+    out = tmp_path / "kg"
+    CLI.main(
+        ["--pages", str(pages_dir), "--gazetteer", str(tsv),
+         "--out", str(out), "--k", "3", "--dedup-pages"],
+        stop_session=False,
+    )
+    urls = duckdb.sql(
+        f"SELECT DISTINCT subj FROM '{out}/triples/*.parquet'"
+    ).df()["subj"].tolist()
+    # exactly one of the two duplicate pages contributed triples
+    assert (pages.iloc[0]["url"] in urls) != (
+        "https://dup.example/copy" in urls
+    )
+    assert len(urls) <= 8
