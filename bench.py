@@ -116,6 +116,23 @@ def main() -> None:
 
         benches.append(("kg_pipeline_checkpointed", run_ckpt))
 
+        def run_ckpt_coarse():
+            d = tempfile.mkdtemp(prefix="nlds_bench_ckptc_")
+            try:
+                _materialize(
+                    run_pipeline(
+                        spark, pages, gaz, k=3, num_partitions=cpus * 2,
+                        checkpoint_dir=d,
+                        checkpoint_granularity="coarse",
+                    ).triples
+                )
+            finally:
+                shutil.rmtree(d, ignore_errors=True)
+
+        benches.append(
+            ("kg_pipeline_checkpointed_coarse", run_ckpt_coarse)
+        )
+
         all_q = EQ.queries()
         for qname in [
             "a1_pricing_summary",

@@ -64,6 +64,7 @@ def run_pipeline(
     input_sig: str | None = None,
     reranker: str | None = None,
     from_html: bool = False,
+    checkpoint_granularity: str = "fine",
 ) -> PipelineResult:
     """Run pages -> triples. When ``checkpoint_dir`` is set, every stage is
     snapshot-checkpointed and resumable; otherwise the plan runs fully lazy
@@ -76,6 +77,16 @@ def run_pipeline(
     native byte-exact extractor (functions/html_extract.py) — for inputs
     where only the raw page bytes are populated. Extraction runs inside
     the scan projection (whole-stage codegen), so it adds no stage.
+
+    ``checkpoint_granularity`` trades lineage detail for throughput when
+    checkpointing is on: ``'fine'`` (default) checkpoints mention and
+    exploded-candidate stages separately (candidate-grain lineage,
+    skew-visible, restart loses at most one stage); ``'coarse'`` runs
+    the FUSED pages->linked plan as a single checkpointed stage — one
+    python pass and one snapshot instead of two of each, a measured
+    ~2x of the fine mode's stage cost, for pipelines where per-stage
+    forensics matter less than wall clock. Resume semantics are
+    identical (same signature algebra).
     """
     if from_html:
         from ..functions.html_extract import extract_text_expr
@@ -108,7 +119,24 @@ def run_pipeline(
 
     indexes = build_indexes(gazetteer_pdf, k=k, embedder=embedder)
 
-    if cat:
+    if cat and checkpoint_granularity == "coarse":
+        # single fused python pass, single snapshot: the resumable mode
+        # for throughput-bound runs (lineage is linked-grain, not
+        # candidate-grain)
+        linked = cat.stage(
+            "linked",
+            _sig(input_sig, gaz_sig, k, reranker, emb_sig, "coarse"),
+            lambda: detect_and_link(
+                pages,
+                gazetteer_pdf,
+                indexes,
+                k=k,
+                embedder=embedder,
+                num_partitions=num_partitions,
+            ),
+        )
+        mentions = linked.select("url", "label", "start", "end", "span")
+    elif cat:
         # checkpointed runs keep separate, resumable stages with the
         # exploded-candidate linking plan (skew-visible, candidate-grain
         # lineage)

@@ -180,3 +180,35 @@ def test_write_skips_over_unpublished_snap_dirs(spark, tmp_path):
     assert cat.read("t").count() == 3
     cat.write(spark.range(4).toDF("id"), "t", input_sig="s2")
     assert cat.read("t").count() == 4
+
+
+def test_coarse_checkpoint_granularity(spark, golden_pages, golden_gazetteer, tmp_path):
+    """coarse mode: ONE fused checkpointed stage, triples identical to
+    fine mode, rerun resumes without recompute."""
+    pages = pages_to_spark(spark, golden_pages.head(8))
+    key = ["subj", "pred", "code", "start", "end", "rank"]
+
+    fine = run_pipeline(
+        spark, pages, golden_gazetteer, k=3,
+        checkpoint_dir=str(tmp_path / "fine"), input_sig="v1",
+    )
+    coarse = run_pipeline(
+        spark, pages, golden_gazetteer, k=3,
+        checkpoint_dir=str(tmp_path / "coarse"), input_sig="v1",
+        checkpoint_granularity="coarse",
+    )
+    assert {tuple(r) for r in coarse.triples.select(*key).collect()} == {
+        tuple(r) for r in fine.triples.select(*key).collect()
+    }
+    cat = CheckpointCatalog(spark, str(tmp_path / "coarse"))
+    written = {s["table"] for s in cat.lineage() if not s.get("resumed")}
+    assert "mentions" not in written  # no separate mentions snapshot
+
+    again = run_pipeline(
+        spark, pages, golden_gazetteer, k=3,
+        checkpoint_dir=str(tmp_path / "coarse"), input_sig="v1",
+        checkpoint_granularity="coarse",
+    )
+    resumed = {s["table"] for s in cat.lineage() if s.get("resumed")}
+    assert {"linked", "triples", "edges"} <= resumed
+    assert again.triples.count() == coarse.triples.count()
