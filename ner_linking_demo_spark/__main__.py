@@ -39,8 +39,9 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     ap.add_argument(
         "--dedup-pages", action="store_true",
         help="deduplicate pages before KG construction (exact + MinHash "
-        "near-dup via the corpus pipeline; keeps one representative per "
-        "duplicate cluster, lowest url-hash wins)",
+        "near-dup via the corpus pipeline; one deterministic "
+        "representative per duplicate cluster survives; pages whose "
+        "text is missing/unextractable are dropped)",
     )
     ap.add_argument(
         "--from-html", action="store_true",
@@ -101,23 +102,46 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
         pages = spark.read.table(args.pages)
     gaz = pd.read_csv(args.gazetteer, sep="\t", dtype={"code": str})
 
+    from_html = args.from_html
+    input_sig = args.input_sig
     if args.dedup_pages:
         # web corpora are full of boilerplate duplicates: drop them BEFORE
-        # paying NER/linking compute. One representative per exact/near
-        # duplicate cluster survives (deterministic: lowest url-hash).
+        # paying NER/linking compute. One deterministic representative per
+        # exact/near duplicate cluster survives.
         from pyspark.sql import functions as F
 
         from ner_linking_demo_spark.plans.corpus_pipeline import (
             run_corpus_pipeline,
         )
 
+        if from_html:
+            # dedup needs text: derive it HERE (and only once — the
+            # pipeline then consumes the derived column directly)
+            from ner_linking_demo_spark.functions.html_extract import (
+                extract_text_expr,
+            )
+
+            pages = pages.withColumn("text", extract_text_expr("html"))
+            from_html = False
+        # NULL text would collapse into one md5(NULL) dedup partition and
+        # crash shingling; such pages are invalid input — drop them
+        pages = pages.filter(F.col("text").isNotNull())
         docs = pages.select(
             F.xxhash64("url").alias("doc_id"), "url", "text"
         )
-        kept = run_corpus_pipeline(
-            spark, docs, near_dup=True, collect_stats=False
-        ).kept.select("url")
+        # kept is url-sized: materialize once instead of re-running the
+        # dedup window + semi-join for every downstream action
+        kept = (
+            run_corpus_pipeline(
+                spark, docs, near_dup=True, collect_stats=False
+            )
+            .kept.select("url")
+            .localCheckpoint(eager=True)
+        )
         pages = pages.join(kept, "url", "left_semi")
+        # the flag changes pipeline INPUT: fold it into the resume
+        # signature so toggling it never resumes stale snapshots
+        input_sig = f"{input_sig or 'pages-auto'}|dedup-pages"
 
     res = run_pipeline(
         spark,
@@ -126,8 +150,8 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
         k=args.k,
         checkpoint_dir=args.checkpoint,
         num_partitions=args.partitions,
-        input_sig=args.input_sig,
-        from_html=args.from_html,
+        input_sig=input_sig,
+        from_html=from_html,
     )
     for name, df in (
         ("triples", res.triples),

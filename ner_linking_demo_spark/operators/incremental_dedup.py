@@ -71,8 +71,15 @@ class SignatureStore:
         return json.loads(self.fs.read_text(p))
 
     def pin_params(
-        self, n_hashes: int, bands: int, shingle_size: int
+        self,
+        n_hashes: int,
+        bands: int,
+        shingle_size: int,
+        write: bool = True,
     ) -> None:
+        """Validate against the pinned params; pin them only when
+        ``write`` (i.e. when signatures will actually be appended — a
+        plan-audit dry run must not pin an empty store)."""
         import json
 
         want = {
@@ -82,9 +89,10 @@ class SignatureStore:
         }
         have = self.params()
         if have is None:
-            self.fs.write_text(
-                f"{self.root}/_PARAMS.json", json.dumps(want)
-            )
+            if write:
+                self.fs.write_text(
+                    f"{self.root}/_PARAMS.json", json.dumps(want)
+                )
         elif have != want:
             raise ValueError(
                 f"signature store at {self.root} was built with {have}; "
@@ -232,7 +240,7 @@ def incremental_neardup(
     (intra-batch matches report the lower id as ``dup_of``). The batch
     append is idempotent on ``batch_id``.
     """
-    store.pin_params(n_hashes, bands, shingle_size)
+    store.pin_params(n_hashes, bands, shingle_size, write=eager_isolation)
     sigs = minhash_signatures_df(
         new_docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
         shingle_size=shingle_size,

@@ -78,18 +78,28 @@ class CheckpointCatalog:
     def _tdir(self, table: str) -> str:
         return f"{self.base}/{table}"
 
-    def _snapshots(self, table: str) -> list[tuple[int, str]]:
-        """Published snapshots of ``table`` as sorted (seq, dirname).
-        Only directories carrying ``_META.json`` count — anything else
-        (partially copied dirs on non-atomic-rename stores, stray files)
-        is invisible to readers."""
+    def _snap_entries(
+        self, table: str, published_only: bool = True
+    ) -> list[tuple[int, str]]:
+        """snap-* dirs of ``table`` as sorted (seq, dirname).
+        ``published_only`` keeps only dirs carrying ``_META.json`` (what
+        readers may see); the seq allocator scans ALL of them so a
+        publish never renames onto a pre-rename-era or partial dir."""
         tdir = self._tdir(table)
         out = []
-        for name in self.fs.list_names(tdir):
+        for name in (
+            self.fs.list_names(tdir) if self.fs.exists(tdir) else []
+        ):
             m = _SNAP_RE.fullmatch(name)
-            if m and self.fs.exists(f"{tdir}/{name}/_META.json"):
+            if m and (
+                not published_only
+                or self.fs.exists(f"{tdir}/{name}/_META.json")
+            ):
                 out.append((int(m.group(1)), name))
         return sorted(out)
+
+    def _snapshots(self, table: str) -> list[tuple[int, str]]:
+        return self._snap_entries(table, published_only=True)
 
     def _read_pointer(self, table: str) -> dict | None:
         snaps = self._snapshots(table)
@@ -140,19 +150,8 @@ class CheckpointCatalog:
             out = self.spark.read.table(f"{self.ns}.{table}")
             snap = "iceberg"
         else:
-            # next seq considers EVERY snap-* dir, including ones without
-            # _META.json (pre-rename-commit checkpoints, partial copies):
-            # readers ignore them, but the publish rename must never
-            # target an existing directory
-            tdir = self._tdir(table)
-            seqs = [
-                int(m.group(1))
-                for name in (
-                    self.fs.list_names(tdir) if self.fs.exists(tdir) else []
-                )
-                if (m := _SNAP_RE.fullmatch(name))
-            ]
-            n = (max(seqs) + 1) if seqs else 0
+            all_snaps = self._snap_entries(table, published_only=False)
+            n = (all_snaps[-1][0] + 1) if all_snaps else 0
             snap = f"snap-{n:05d}"
             staging = f"{self.base}/_staging/{table}/{snap}"
             final = f"{self._tdir(table)}/{snap}"

@@ -107,6 +107,18 @@ def run_pipeline(
         f"emb{type(embedder).__name__}"
         f"d{getattr(embedder, 'dim', '?')}s{getattr(embedder, 'seed', '?')}"
     )
+    if checkpoint_granularity not in ("fine", "coarse"):
+        raise ValueError(
+            f"unknown checkpoint_granularity {checkpoint_granularity!r} "
+            "(expected 'fine' or 'coarse')"
+        )
+    if checkpoint_granularity == "coarse" and reranker is not None:
+        # the fused plan has no reranking stage; resuming a coarse
+        # snapshot as if reranking ran would be silently wrong
+        raise ValueError(
+            "checkpoint_granularity='coarse' does not support a reranker; "
+            "use the default fine granularity"
+        )
     input_sig = input_sig or _sig("pages", pages.schema.simpleString())
     cat = (
         CheckpointCatalog(spark, checkpoint_dir) if checkpoint_dir else None

@@ -133,3 +133,59 @@ def test_cli_dedup_pages(spark, tmp_path):
         "https://dup.example/copy" in urls
     )
     assert len(urls) <= 8
+
+
+def test_cli_dedup_pages_with_from_html(spark, tmp_path):
+    """--dedup-pages + --from-html: text derives from html before dedup;
+    a duplicated page still contributes triples exactly once."""
+    import duckdb
+    import pandas as pd
+    import pyspark.sql.functions as F
+
+    gaz = FX.gen_gazetteer(n_codes=10)
+    tsv = tmp_path / "gaz.tsv"
+    gaz.to_csv(tsv, sep="\t", index=False)
+
+    pages = FX.gen_pages(n_pages=6, gazetteer=gaz)
+    dup = pages.iloc[[0]].copy()
+    dup["url"] = ["https://dup.example/copy"]
+    pages2 = pd.concat([pages, dup], ignore_index=True)
+    pages_dir = tmp_path / "pages"
+    # text column nulled: only html carries content
+    FX.pages_to_spark(spark, pages2).withColumn(
+        "text", F.lit(None).cast("string")
+    ).write.parquet(str(pages_dir))
+
+    out = tmp_path / "kg"
+    CLI.main(
+        ["--pages", str(pages_dir), "--gazetteer", str(tsv),
+         "--out", str(out), "--k", "3", "--dedup-pages", "--from-html"],
+        stop_session=False,
+    )
+    urls = duckdb.sql(
+        f"SELECT DISTINCT subj FROM '{out}/triples/*.parquet'"
+    ).df()["subj"].tolist()
+    assert (pages.iloc[0]["url"] in urls) != (
+        "https://dup.example/copy" in urls
+    )
+
+
+def test_coarse_granularity_rejects_reranker(spark, golden_pages, golden_gazetteer, tmp_path):
+    import pytest as _pytest
+
+    from ner_linking_demo_spark.plans.pipeline import run_pipeline
+    from ner_linking_demo_spark.sources.fixtures import pages_to_spark
+
+    pages = pages_to_spark(spark, golden_pages.head(2))
+    with _pytest.raises(ValueError, match="reranker"):
+        run_pipeline(
+            spark, pages, golden_gazetteer, k=3,
+            checkpoint_dir=str(tmp_path / "x"),
+            checkpoint_granularity="coarse", reranker="crossencoder",
+        )
+    with _pytest.raises(ValueError, match="granularity"):
+        run_pipeline(
+            spark, pages, golden_gazetteer, k=3,
+            checkpoint_dir=str(tmp_path / "y"),
+            checkpoint_granularity="Coarse",
+        )
