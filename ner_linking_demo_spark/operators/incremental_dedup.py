@@ -317,3 +317,179 @@ def incremental_neardup(
         out = out.localCheckpoint(eager=True)
         store.append(banded, batch_id)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Embedding variant: sign-sketch store for cosine near-dup vs history
+# ---------------------------------------------------------------------------
+
+def _sign_sketch(emb, planes_cols):
+    """Hyperplane sign bits packed into longs — the SimHash-for-cosine
+    sketch (Charikar '02): P(signs agree) = 1 - theta/pi, so
+    cos(pi * hamming / n_bits) is an unbiased-angle cosine estimate."""
+    from .similarity import _dot
+
+    words = []
+    n = len(planes_cols)
+    for w in range(0, n, 63):  # 63 bits/long keeps ANSI shifts safe
+        bits = F.lit(0).cast("long")
+        for b, pcol in enumerate(planes_cols[w:w + 63]):
+            bits = bits + F.when(
+                _dot(emb, pcol) > 0, F.lit(1 << b).cast("long")
+            ).otherwise(F.lit(0).cast("long"))
+        words.append(bits)
+    return F.array(*words)
+
+
+def _est_cosine(sk_a, sk_b, n_bits: int):
+    """cos(pi * hamming(sketch_a, sketch_b) / n_bits)."""
+    hamming = F.aggregate(
+        F.zip_with(sk_a, sk_b, lambda x, y: F.bit_count(x.bitwiseXOR(y))),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    )
+    import math
+
+    return F.cos(hamming.cast("double") * float(math.pi / n_bits))
+
+
+def incremental_embedding_neardup(
+    new_vecs: DataFrame,
+    store: SignatureStore,
+    batch_id: int | str,
+    planes,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sketch_planes=None,
+    est_threshold: float = 0.9,
+    probe_bits: int = 1,
+    max_candidates_per_doc: int = 64,
+    eager_isolation: bool = True,
+) -> DataFrame:
+    """Cosine near-duplicate detection of new vectors against an
+    append-only SKETCH store — no embedding is ever stored or shuffled.
+
+    The store rows are (id, sig=sign-sketch longs, band, bucket): bucket
+    = the coarse hyperplane LSH code (``planes``, multi-probed on the
+    query side exactly like :func:`~similarity.ann_join`), sig = a
+    wider sign sketch (``sketch_planes``, default 126 planes = 2 longs)
+    whose Hamming distance estimates the angle: est_cosine =
+    cos(pi * hamming / n_sketch_bits). Std-err of the angle estimate is
+    pi * sqrt(p(1-p)/n_bits) — tune sketch width like MinHash width.
+
+    Returns (vec_id, dup_of, est_cosine, scope) with the same batch /
+    history semantics, replay idempotence and parameter pinning as
+    :func:`incremental_neardup` (the pin records plane shapes)."""
+    import numpy as np
+
+    from .similarity import probe_masks
+
+    if sketch_planes is None:
+        rng = np.random.default_rng(1729)
+        sketch_planes = rng.standard_normal(
+            (126, planes.shape[1])
+        ).astype(np.float64)
+    n_bits = sketch_planes.shape[0]
+    store.pin_params(
+        n_hashes=1000 + n_bits,  # distinct namespace from MinHash stores
+        bands=planes.shape[0],
+        shingle_size=planes.shape[1],
+        write=eager_isolation,
+    )
+
+    def plane_cols(pl):
+        return [F.array(*[F.lit(float(x)) for x in row]) for row in pl]
+
+    emb = F.col(emb_col).cast("array<double>")
+    base = new_vecs.select(
+        F.col(id_col).alias("id"),
+        _sign_sketch(emb, plane_cols(sketch_planes)).alias("sig"),
+        _bucket_from_planes(emb, planes).alias("bucket0"),
+    )
+    masks = probe_masks(planes.shape[0], probe_bits)
+    # probe side: the Hamming ball of the coarse code; band column = 0
+    # (single coarse code — the SignatureStore schema is reused as-is)
+    probed = base.select(
+        "id", "sig",
+        F.lit(0).alias("band"),
+        F.explode(
+            F.array(
+                *[
+                    F.col("bucket0").bitwiseXOR(F.lit(m).cast("long"))
+                    for m in masks
+                ]
+            )
+        ).alias("bucket"),
+    )
+    banded = base.select(
+        "id", "sig", F.lit(0).alias("band"),
+        F.col("bucket0").alias("bucket"),
+    )
+    if eager_isolation:
+        probed = probed.localCheckpoint(eager=True)
+        banded = banded.localCheckpoint(eager=True)
+
+    new_a = probed.select(
+        F.col("id").alias("vec_id"), F.col("sig").alias("sig_a"),
+        "band", "bucket",
+    )
+    intra = (
+        new_a.join(
+            banded.select(
+                F.col("id").alias("dup_of"), F.col("sig").alias("sig_b"),
+                "band", "bucket",
+            ),
+            ["band", "bucket"],
+        )
+        .filter(F.col("dup_of") < F.col("vec_id"))
+        .withColumn("scope", F.lit("batch"))
+    )
+    history = store.read()
+    if history is not None:
+        history = history.filter(
+            F.col("batch_id").cast("string") != F.lit(str(batch_id))
+        )
+        cross = (
+            F.broadcast(new_a)
+            .join(
+                history.select(
+                    F.col("id").alias("dup_of"),
+                    F.col("sig").alias("sig_b"),
+                    "band", "bucket",
+                ),
+                ["band", "bucket"],
+            )
+            .withColumn("scope", F.lit("history"))
+        )
+        cand = intra.unionByName(cross)
+    else:
+        cand = intra
+
+    scored = (
+        cand.select(
+            "vec_id", "dup_of", "scope",
+            _est_cosine(F.col("sig_a"), F.col("sig_b"), n_bits).alias(
+                "est_cosine"
+            ),
+        )
+        .dropDuplicates(["vec_id", "dup_of"])
+        .filter(F.col("est_cosine") >= est_threshold)
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.desc("est_cosine"), F.asc("dup_of")
+    )
+    out = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= max_candidates_per_doc)
+        .drop("_rn")
+    )
+    if eager_isolation:
+        out = out.localCheckpoint(eager=True)
+        store.append(banded, batch_id)
+    return out
+
+
+def _bucket_from_planes(emb, planes):
+    from .similarity import _bucket_col
+
+    return _bucket_col(emb, planes, "auto")

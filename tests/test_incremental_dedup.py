@@ -189,3 +189,59 @@ def test_store_pins_hash_params(spark, store):
             _docs(spark, [(2, BASE)]), store, batch_id=2, n_hashes=32,
             bands=8,
         )
+
+
+def test_incremental_embedding_neardup(spark, tmp_path):
+    """Sketch-estimated cosine vs history: exact copy ~1.0, near copy
+    high, orthogonal vector absent; estimator tracks true cosine; no
+    embedding column in the store; replay reproducible."""
+    import numpy as np
+
+    from ner_linking_demo_spark.operators.incremental_dedup import (
+        SignatureStore,
+        incremental_embedding_neardup,
+    )
+    from ner_linking_demo_spark.operators.similarity import hyperplanes
+
+    rng = np.random.default_rng(3)
+    dim = 32
+    base = rng.standard_normal(dim)
+    near = base + 0.05 * rng.standard_normal(dim)  # cosine ~0.999
+    other = rng.standard_normal(dim)
+
+    def vdf(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    store = SignatureStore(spark, str(tmp_path / "vstore"))
+    planes = hyperplanes(dim=dim, n_planes=8, seed=5)
+
+    m1 = incremental_embedding_neardup(
+        vdf([(1, base), (2, other)]), store, 1, planes
+    ).collect()
+    assert m1 == []  # empty history; base vs other not near-dup
+
+    m2 = incremental_embedding_neardup(
+        vdf([(10, base), (11, near), (12, -base)]), store, 2, planes,
+    )
+    rows = {(r["vec_id"], r["dup_of"]): r for r in m2.collect()}
+    assert (10, 1) in rows and rows[(10, 1)]["scope"] == "history"
+    assert rows[(10, 1)]["est_cosine"] > 0.99  # identical signs
+    assert (11, 1) in rows or (11, 10) in rows  # near copy caught
+    assert not any(v == 12 for (v, _) in rows)  # anti-parallel: no match
+
+    # estimator sanity: est within 0.15 of true cosine for the near pair
+    true_cos = float(
+        base @ near / (np.linalg.norm(base) * np.linalg.norm(near))
+    )
+    got = rows.get((11, 1)) or rows.get((11, 10))
+    assert abs(got["est_cosine"] - true_cos) < 0.15
+
+    assert "embedding" not in set(store.read().columns)  # sketches only
+
+    m2r = incremental_embedding_neardup(
+        vdf([(10, base), (11, near), (12, -base)]), store, 2, planes,
+    )
+    assert {(r["vec_id"], r["dup_of"]) for r in m2r.collect()} == set(rows)
