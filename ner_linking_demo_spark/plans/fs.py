@@ -176,3 +176,117 @@ class HadoopFS:
     def read_lines(self, path: str) -> list[str]:
         d = path + ".d"
         return [self.read_text(f"{d}/{n}") for n in self.list_names(d)]
+
+
+# ---------------------------------------------------------------------------
+# Batch-partitioned publish layout (shared by streaming triples/kept
+# outputs and the dedup signature stores)
+# ---------------------------------------------------------------------------
+
+class BatchLayout:
+    """A ``<root>/batch_id=N`` parquet layout with atomic per-batch
+    publishes and directory-name-derived compaction state.
+
+    - ``publish(df, batch_id)``: staging write + one atomic rename; the
+      published directory is the commit record (idempotent: no-op if the
+      batch is already published OR covered by a compaction).
+    - ``compact(spark, ...)``: folds every batch except the newest into
+      one consolidated ``batch_id=__c<N>`` partition at a target file
+      size — the small-file GC any always-appending layout needs. The
+      newest batch stays untouched because it is the only one Structured
+      Streaming can replay. Crash-safe purely by naming: ``read`` ignores
+      numeric partitions covered by the highest ``__c`` marker the moment
+      the consolidated rename lands, so the old-dir GC is pure cleanup.
+    """
+
+    def __init__(self, spark, root: str):
+        self.spark = spark
+        self.root = root.rstrip("/")
+        self.fs = catalog_fs(spark, self.root)
+        self.staging = f"{self.root}/_staging"
+        self.fs.mkdirs(self.root)
+        self.fs.mkdirs(self.staging)
+
+    def _dir(self, batch_id) -> str:
+        return f"{self.root}/batch_id={batch_id}"
+
+    def _partitions(self) -> list[str]:
+        return [
+            n[len("batch_id="):]
+            for n in self.fs.list_names(self.root)
+            if n.startswith("batch_id=")
+        ]
+
+    def compacted_upto(self) -> int | None:
+        cs = [
+            int(p[len("__c"):])
+            for p in self._partitions()
+            if p.startswith("__c")
+        ]
+        return max(cs) if cs else None
+
+    def has_batch(self, batch_id) -> bool:
+        if self.fs.exists(self._dir(batch_id)):
+            return True
+        upto = self.compacted_upto()
+        return (
+            upto is not None
+            and str(batch_id).isdigit()
+            and int(batch_id) <= upto
+        )
+
+    def publish(self, df, batch_id) -> bool:
+        if self.has_batch(batch_id):
+            return False
+        staging = f"{self.staging}/batch-{batch_id}"
+        df.write.mode("overwrite").parquet(staging)
+        self.fs.rename(staging, self._dir(batch_id))
+        return True
+
+    def read(self):
+        from pyspark.sql import functions as F
+
+        if not self._partitions():
+            return None
+        df = self.spark.read.option("basePath", self.root).parquet(
+            f"{self.root}/batch_id=*"
+        )
+        upto = self.compacted_upto()
+        if upto is not None:
+            b = F.col("batch_id").cast("string")
+            covered = F.when(
+                b.rlike("^[0-9]+$"), b.cast("long") <= F.lit(upto)
+            ).otherwise(F.lit(False))
+            df = df.filter(~covered)
+        return df
+
+    def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
+        from pyspark.sql import functions as F
+
+        numeric = sorted(int(p) for p in self._partitions() if p.isdigit())
+        prev_upto = self.compacted_upto()
+        if len(numeric) + (1 if prev_upto is not None else 0) < 3:
+            return -1
+        upto = numeric[-2] if numeric else prev_upto
+        if prev_upto is not None and upto <= prev_upto:
+            return -1
+        merged = self.read().filter(
+            F.col("batch_id").cast("string") != F.lit(str(numeric[-1]))
+        ).drop("batch_id")
+        total = sum(
+            sum(self.fs.file_sizes(self._dir(p)).values())
+            for p in self._partitions()
+            if p != str(numeric[-1])
+        )
+        n_files = max(1, -(-total // max(target_file_bytes, 1)))
+        staging = f"{self.staging}/compact-{upto}"
+        merged.coalesce(int(n_files)).write.mode("overwrite").parquet(
+            staging
+        )
+        self.fs.rename(staging, self._dir(f"__c{upto}"))
+        for p in self._partitions():
+            if (p.isdigit() and int(p) <= upto) or (
+                p.startswith("__c") and p != f"__c{upto}"
+            ):
+                self.fs.delete(self._dir(p))
+        return upto

@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 
 from ..operators.incremental_dedup import SignatureStore, incremental_neardup
 from ..plans.corpus_pipeline import annotate_docs
-from ..plans.fs import catalog_fs
+from ..plans.fs import BatchLayout
 
 
 def incremental_corpus_pipeline(
@@ -48,16 +48,11 @@ def incremental_corpus_pipeline(
     ``out_dir/kept/batch_id=N`` parquet publishes. Read results back with
     ``spark.read.parquet(f"{out_dir}/kept")``."""
     root = out_dir.rstrip("/")
-    kept_root = f"{root}/kept"
-    staging_root = f"{root}/_staging"
-    fs = catalog_fs(spark, root)
-    fs.mkdirs(kept_root)
-    fs.mkdirs(staging_root)
+    layout = BatchLayout(spark, f"{root}/kept")
     store = SignatureStore(spark, store_dir or f"{root}/_sigstore")
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        final = f"{kept_root}/batch_id={batch_id}"
-        if fs.exists(final):
+        if layout.has_batch(batch_id):
             return  # replayed batch: already published atomically
         ann = annotate_docs(batch_df, text_col)
         cond = F.lit(True)
@@ -83,9 +78,7 @@ def incremental_corpus_pipeline(
             F.col("doc_id").alias(id_col)
         ).distinct()
         kept = filtered.join(dup_ids, id_col, "left_anti")
-        staging = f"{staging_root}/kept-{batch_id}"
-        kept.write.mode("overwrite").parquet(staging)
-        fs.rename(staging, final)  # atomic publish == commit record
+        layout.publish(kept, batch_id)  # atomic == commit record
 
     writer = (
         docs_stream.writeStream.foreachBatch(process)

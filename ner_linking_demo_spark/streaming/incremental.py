@@ -36,7 +36,7 @@ from ..operators.canonicalize import (
     incremental_components,
 )
 from ..plans.catalog import CheckpointCatalog
-from ..plans.fs import catalog_fs
+from ..plans.fs import BatchLayout
 from ..plans.pipeline import run_pipeline
 
 
@@ -70,11 +70,7 @@ def incremental_pipeline(
     are skipped via the catalog's input-signature chain (``upto-N``
     monotone), keeping the fold idempotent under restart."""
     root = out_dir.rstrip("/")
-    triples_root = f"{root}/triples"
-    staging_root = f"{root}/_staging"
-    fs = catalog_fs(spark, root)
-    fs.mkdirs(triples_root)
-    fs.mkdirs(staging_root)
+    layout = BatchLayout(spark, f"{root}/triples")
 
     state = (
         CheckpointCatalog(spark, f"{root}/_state")
@@ -115,8 +111,8 @@ def incremental_pipeline(
         )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        final = f"{triples_root}/batch_id={batch_id}"
-        if fs.exists(final):
+        final = layout._dir(batch_id)
+        if layout.has_batch(batch_id):
             # replayed micro-batch: triples already published atomically;
             # still make sure the entity fold for this batch landed (a
             # crash BETWEEN triples publish and state write re-runs
@@ -125,10 +121,7 @@ def incremental_pipeline(
                 _fold_entities(final, batch_id)
             return
         res = run_pipeline(spark, batch_df, gazetteer_pdf, k=k)
-        staging = f"{staging_root}/batch-{batch_id}"
-        # overwrite: a crashed earlier attempt may have left partial staging
-        res.triples.write.mode("overwrite").parquet(staging)
-        fs.rename(staging, final)  # single atomic publish == commit record
+        layout.publish(res.triples, batch_id)  # atomic == commit record
         if state is not None:
             _fold_entities(final, batch_id)
 

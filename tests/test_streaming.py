@@ -294,3 +294,32 @@ def test_incremental_entities_state_across_batches(spark, tmp_path):
         for r in state2.read("entities_cc").collect()
     }
     assert got2 == got
+
+
+def test_batch_layout_compaction(spark, tmp_path):
+    """BatchLayout: publishes are idempotent, compaction folds all but
+    the newest batch into one consolidated partition with no change to
+    read() content, and covered batch ids stay 'published'."""
+    import os
+
+    from ner_linking_demo_spark.plans.fs import BatchLayout
+
+    lay = BatchLayout(spark, str(tmp_path / "lay"))
+    for b in range(4):
+        assert lay.publish(
+            spark.range(b * 10, b * 10 + 5).toDF("id"), b
+        ) is True
+    assert lay.publish(spark.range(99).toDF("id"), 2) is False  # replay
+    before = {r["id"] for r in lay.read().select("id").collect()}
+    assert len(before) == 20
+
+    assert lay.compact(target_file_bytes=1 << 30) == 2
+    dirs = sorted(os.listdir(lay.root))
+    assert [d for d in dirs if d.startswith("batch_id=")] == [
+        "batch_id=3", "batch_id=__c2"
+    ]
+    assert {r["id"] for r in lay.read().select("id").collect()} == before
+    for b in range(4):
+        assert lay.has_batch(b)
+    assert not lay.has_batch(9)
+    assert lay.publish(spark.range(1).toDF("id"), 1) is False  # covered
