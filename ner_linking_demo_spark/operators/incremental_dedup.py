@@ -36,23 +36,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from ..plans.fs import catalog_fs
+from ..plans.fs import BatchLayout, catalog_fs
 from .dedup import minhash_band_buckets, minhash_signatures_df
 
 
 class SignatureStore:
     """Append-only (id, sig, band, bucket) table, batch-partitioned with
-    atomic per-batch publishes. Driver-side control plane via plans/fs.py
-    (local or any scheme:// root)."""
+    atomic per-batch publishes — a thin wrapper over the shared
+    :class:`~ner_linking_demo_spark.plans.fs.BatchLayout` protocol
+    (publish/replay/compaction) plus hashing-parameter pinning."""
 
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root.rstrip("/")
         self.data = f"{self.root}/data"
-        self.staging = f"{self.root}/_staging"
         self.fs = catalog_fs(spark, self.root)
-        self.fs.mkdirs(self.data)
-        self.fs.mkdirs(self.staging)
+        self._layout = BatchLayout(spark, self.data)
 
     def _batch_dir(self, batch_id: int | str) -> str:
         return f"{self.data}/batch_id={batch_id}"
@@ -100,110 +99,33 @@ class SignatureStore:
             )
 
     def has_batch(self, batch_id: int | str) -> bool:
-        if self.fs.exists(self._batch_dir(batch_id)):
-            return True
-        upto = self.compacted_upto()
-        return (
-            upto is not None
-            and str(batch_id).isdigit()
-            and int(batch_id) <= upto
-        )
+        return self._layout.has_batch(batch_id)
 
     def append(self, banded: DataFrame, batch_id: int | str) -> bool:
         """Publish one batch's banded signatures; no-op (False) if this
         batch_id is already published — replay-idempotent."""
-        final = self._batch_dir(batch_id)
         if self.has_batch(batch_id):
             return False
-        staging = f"{self.staging}/batch-{batch_id}"
-        banded.select("id", "sig", "band", "bucket").write.mode(
-            "overwrite"
-        ).parquet(staging)
-        self.fs.rename(staging, final)
-        return True
-
-    def _partitions(self) -> list[str]:
-        return [
-            n[len("batch_id="):]
-            for n in self.fs.list_names(self.data)
-            if n.startswith("batch_id=")
-        ]
+        return self._layout.publish(
+            banded.select("id", "sig", "band", "bucket"), batch_id
+        )
 
     def compacted_upto(self) -> int | None:
-        """Highest batch id folded into a consolidated partition, derived
-        from directory names alone (``batch_id=__c<N>``) — no marker file
-        to desynchronize."""
-        cs = [
-            int(p[len("__c"):])
-            for p in self._partitions()
-            if p.startswith("__c")
-        ]
-        return max(cs) if cs else None
+        return self._layout.compacted_upto()
 
     def read(self) -> DataFrame | None:
         """All published signatures (one parquet scan; the batch_id
-        partition column rides along for lineage/expiry). Numeric batch
-        partitions already covered by a consolidated ``__c<N>`` partition
-        are excluded, so a compaction crash between publish and GC never
-        double-counts."""
-        parts = self._partitions()
-        if not parts:
-            return None
-        df = self.spark.read.option("basePath", self.data).parquet(
-            f"{self.data}/batch_id=*"
-        )
-        upto = self.compacted_upto()
-        if upto is not None:
-            b = F.col("batch_id").cast("string")
-            # conditional cast: ANSI mode would error casting "__c5"
-            covered = F.when(
-                b.rlike("^[0-9]+$"), b.cast("long") <= F.lit(upto)
-            ).otherwise(F.lit(False))
-            df = df.filter(~covered)
-        return df
+        partition column rides along for replay exclusion). Compaction
+        coverage handled by the shared layout."""
+        return self._layout.read()
 
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         """Fold all published batches EXCEPT the latest into one
-        consolidated partition sized at ``target_file_bytes`` per file —
-        the small-file GC an always-appending store needs (a year of
-        hourly batches is ~9k directories of dust otherwise). The latest
+        consolidated partition (shared BatchLayout.compact — the latest
         batch stays untouched because it is the only one Structured
-        Streaming can replay (incremental_neardup excludes a batch's own
-        partition from history by NAME). Crash-safe by construction:
-        the consolidated partition publishes by atomic rename, read()
-        ignores covered numeric partitions as soon as it exists, and
-        deleting the old dirs afterward is pure GC. Returns the covered
-        upper batch id (-1 if nothing to compact)."""
-        numeric = sorted(
-            int(p) for p in self._partitions() if p.isdigit()
-        )
-        prev_upto = self.compacted_upto()
-        if len(numeric) + (1 if prev_upto is not None else 0) < 3:
-            return -1  # nothing worth folding
-        upto = numeric[-2] if numeric else prev_upto
-        if prev_upto is not None and upto <= prev_upto:
-            return -1
-        merged = self.read().filter(
-            F.col("batch_id").cast("string") != F.lit(str(numeric[-1]))
-        ).select("id", "sig", "band", "bucket")
-        total = sum(
-            sum(self.fs.file_sizes(f"{self.data}/batch_id={p}").values())
-            for p in self._partitions()
-            if p != str(numeric[-1])
-        )
-        n_files = max(1, -(-total // max(target_file_bytes, 1)))
-        staging = f"{self.staging}/compact-{upto}"
-        merged.coalesce(int(n_files)).write.mode("overwrite").parquet(
-            staging
-        )
-        self.fs.rename(staging, self._batch_dir(f"__c{upto}"))
-        # GC: everything the new consolidated partition covers
-        for p in self._partitions():
-            if (p.isdigit() and int(p) <= upto) or (
-                p.startswith("__c") and p != f"__c{upto}"
-            ):
-                self.fs.delete(f"{self.data}/batch_id={p}")
-        return upto
+        Streaming can replay, and incremental_neardup excludes a batch's
+        own partition from history by NAME)."""
+        return self._layout.compact(target_file_bytes)
 
 
 def _estimated_jaccard(sig_a, sig_b) -> F.Column:

@@ -147,13 +147,15 @@ def test_store_compaction(spark, store):
     ]):
         incremental_neardup(_docs(spark, docs), store, batch_id=b)
     before = store.read().count()
-    n_dirs_before = len(os.listdir(store.data))
-    assert n_dirs_before == 3
+    parts = [d for d in os.listdir(store.data) if d.startswith("batch_id=")]
+    assert len(parts) == 3
 
     upto = store.compact(target_file_bytes=1 << 30)
     assert upto == 1  # latest batch (2) untouched
     assert store.read().count() == before
-    dirs = sorted(os.listdir(store.data))
+    dirs = sorted(
+        d for d in os.listdir(store.data) if d.startswith("batch_id=")
+    )
     assert dirs == ["batch_id=2", "batch_id=__c1"]
     assert store.has_batch(0) and store.has_batch(1) and store.has_batch(2)
     assert not store.has_batch(7)
