@@ -60,13 +60,18 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     ap.add_argument("--tables", default=None,
                     help="comma-separated tables for --maintain "
                     "(default: every table in the checkpoint)")
+    ap.add_argument("--batch-layout", default=None,
+                    help="with --maintain compact: compact a batch_id-"
+                    "partitioned output layout (e.g. <out>/triples or "
+                    "<out>/kept) instead of a checkpoint catalog; "
+                    "readers must then use BatchLayout.read()")
     ap.add_argument("--keep-last", type=int, default=2)
     ap.add_argument("--target-file-mb", type=int, default=128)
     args = ap.parse_args(argv)
 
     if args.maintain:
-        if not args.checkpoint:
-            ap.error("--maintain requires --checkpoint")
+        if not args.checkpoint and not args.batch_layout:
+            ap.error("--maintain requires --checkpoint or --batch-layout")
         _run_maintenance(args, stop_session)
         return
     for req in ("pages", "gazetteer", "out"):
@@ -169,6 +174,19 @@ def _run_maintenance(args, stop_session: bool) -> None:
     from ner_linking_demo_spark.session import get_spark
 
     spark = get_spark(app_name="kg-maintain")
+    if args.batch_layout:
+        from ner_linking_demo_spark.plans.fs import BatchLayout
+
+        if args.maintain != "compact":
+            raise SystemExit("--batch-layout supports --maintain compact")
+        lay = BatchLayout(spark, args.batch_layout)
+        upto = lay.compact(
+            target_file_bytes=args.target_file_mb * 1024 * 1024
+        )
+        print(f"compact {args.batch_layout}: upto batch {upto}")
+        if stop_session:
+            spark.stop()
+        return
     cat = CheckpointCatalog(spark, args.checkpoint)
     if args.tables:
         tables = [t.strip() for t in args.tables.split(",") if t.strip()]

@@ -53,9 +53,6 @@ class SignatureStore:
         self.fs = catalog_fs(spark, self.root)
         self._layout = BatchLayout(spark, self.data)
 
-    def _batch_dir(self, batch_id: int | str) -> str:
-        return f"{self.data}/batch_id={batch_id}"
-
     # -- hashing-parameter pinning ---------------------------------------
     # Signatures are only comparable under identical (n_hashes, bands,
     # shingle_size); the first append pins them in _PARAMS.json and every
@@ -107,7 +104,8 @@ class SignatureStore:
         if self.has_batch(batch_id):
             return False
         return self._layout.publish(
-            banded.select("id", "sig", "band", "bucket"), batch_id
+            banded.select("id", "sig", "band", "bucket"), batch_id,
+            precheck=False,
         )
 
     def compacted_upto(self) -> int | None:

@@ -190,13 +190,23 @@ class BatchLayout:
     - ``publish(df, batch_id)``: staging write + one atomic rename; the
       published directory is the commit record (idempotent: no-op if the
       batch is already published OR covered by a compaction).
-    - ``compact(spark, ...)``: folds every batch except the newest into
-      one consolidated ``batch_id=__c<N>`` partition at a target file
-      size — the small-file GC any always-appending layout needs. The
-      newest batch stays untouched because it is the only one Structured
-      Streaming can replay. Crash-safe purely by naming: ``read`` ignores
-      numeric partitions covered by the highest ``__c`` marker the moment
-      the consolidated rename lands, so the old-dir GC is pure cleanup.
+    - ``compact(...)``: folds every batch except the newest into one
+      consolidated ``batch_id=__c<N>`` partition at a target file size —
+      the small-file GC any always-appending layout needs. The newest
+      batch stays untouched because it is the only one Structured
+      Streaming can replay. Crash-safe by naming for ``read()`` callers
+      (covered numeric partitions are ignored the moment the
+      consolidated rename lands), and a crashed GC is recovered by the
+      next ``compact()`` call, which always re-sweeps covered dirs
+      before deciding whether to fold further.
+
+    COMPACTION CAVEAT for raw readers: once a ``__c<N>`` partition
+    exists, ``spark.read.parquet(root)`` (without the coverage filter)
+    would double-count covered batches mid-GC-crash, and the mixed
+    numeric/``__c`` values force the ``batch_id`` partition column to
+    STRING. Consumers of a compacted layout must read through
+    :meth:`read` — the streaming docstrings say so, and compaction is
+    opt-in maintenance, never automatic.
     """
 
     def __init__(self, spark, root: str):
@@ -209,6 +219,10 @@ class BatchLayout:
 
     def _dir(self, batch_id) -> str:
         return f"{self.root}/batch_id={batch_id}"
+
+    def path(self, batch_id) -> str:
+        """Published directory of one batch (public accessor)."""
+        return self._dir(batch_id)
 
     def _partitions(self) -> list[str]:
         return [
@@ -235,8 +249,11 @@ class BatchLayout:
             and int(batch_id) <= upto
         )
 
-    def publish(self, df, batch_id) -> bool:
-        if self.has_batch(batch_id):
+    def publish(self, df, batch_id, precheck: bool = True) -> bool:
+        # precheck=False when the caller already consulted has_batch —
+        # avoids paying the exists+listing twice per micro-batch on
+        # object stores
+        if precheck and self.has_batch(batch_id):
             return False
         staging = f"{self.staging}/batch-{batch_id}"
         df.write.mode("overwrite").parquet(staging)
@@ -260,11 +277,24 @@ class BatchLayout:
             df = df.filter(~covered)
         return df
 
+    def _gc_covered(self, upto: int) -> None:
+        """Delete numeric partitions covered by ``__c<upto>`` and stale
+        ``__c`` markers — idempotent, re-runnable after a crash."""
+        for p in self._partitions():
+            if (p.isdigit() and int(p) <= upto) or (
+                p.startswith("__c") and p != f"__c{upto}"
+            ):
+                self.fs.delete(self._dir(p))
+
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         from pyspark.sql import functions as F
 
-        numeric = sorted(int(p) for p in self._partitions() if p.isdigit())
         prev_upto = self.compacted_upto()
+        if prev_upto is not None:
+            # recover a crashed previous GC FIRST: covered dirs must not
+            # outlive their marker (raw readers would double-count)
+            self._gc_covered(prev_upto)
+        numeric = sorted(int(p) for p in self._partitions() if p.isdigit())
         if len(numeric) + (1 if prev_upto is not None else 0) < 3:
             return -1
         upto = numeric[-2] if numeric else prev_upto
@@ -284,9 +314,5 @@ class BatchLayout:
             staging
         )
         self.fs.rename(staging, self._dir(f"__c{upto}"))
-        for p in self._partitions():
-            if (p.isdigit() and int(p) <= upto) or (
-                p.startswith("__c") and p != f"__c{upto}"
-            ):
-                self.fs.delete(self._dir(p))
+        self._gc_covered(upto)
         return upto

@@ -45,8 +45,9 @@ def incremental_corpus_pipeline(
     trigger_once: bool = True,
 ):
     """docs readStream -> per-batch annotate/filter/dedup-vs-history ->
-    ``out_dir/kept/batch_id=N`` parquet publishes. Read results back with
-    ``spark.read.parquet(f"{out_dir}/kept")``."""
+    ``out_dir/kept/batch_id=N`` parquet publishes. Read results back
+    with ``BatchLayout(spark, f"{out_dir}/kept").read()`` (plain
+    ``spark.read.parquet`` only if the layout is never compacted)."""
     root = out_dir.rstrip("/")
     layout = BatchLayout(spark, f"{root}/kept")
     store = SignatureStore(spark, store_dir or f"{root}/_sigstore")
@@ -78,7 +79,7 @@ def incremental_corpus_pipeline(
             F.col("doc_id").alias(id_col)
         ).distinct()
         kept = filtered.join(dup_ids, id_col, "left_anti")
-        layout.publish(kept, batch_id)  # atomic == commit record
+        layout.publish(kept, batch_id, precheck=False)  # atomic commit
 
     writer = (
         docs_stream.writeStream.foreachBatch(process)

@@ -53,7 +53,10 @@ def incremental_pipeline(
     """pages readStream -> per-micro-batch KG pipeline -> atomic publishes.
 
     Output is a ``batch_id``-partitioned parquet layout under
-    ``out_dir/triples`` (read it back with ``spark.read.parquet``).
+    ``out_dir/triples`` — read it back with
+    ``BatchLayout(spark, f"{out_dir}/triples").read()`` (plain
+    ``spark.read.parquet`` is fine ONLY if the layout is never
+    compacted; see the BatchLayout compaction caveat).
     ``trigger_once=True`` (availableNow) drains what's there and stops —
     the batch-job-with-streaming-bookkeeping mode; ``False`` runs
     continuously.
@@ -111,17 +114,19 @@ def incremental_pipeline(
         )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        final = layout._dir(batch_id)
+        final = layout.path(batch_id)
         if layout.has_batch(batch_id):
             # replayed micro-batch: triples already published atomically;
             # still make sure the entity fold for this batch landed (a
             # crash BETWEEN triples publish and state write re-runs
-            # here — from the published snapshot, no pipeline re-run)
-            if state is not None:
+            # here — from the published snapshot, no pipeline re-run).
+            # A batch covered by compaction may have no directory any
+            # more: its fold is part of the compacted past, skip it.
+            if state is not None and layout.fs.exists(final):
                 _fold_entities(final, batch_id)
             return
         res = run_pipeline(spark, batch_df, gazetteer_pdf, k=k)
-        layout.publish(res.triples, batch_id)  # atomic == commit record
+        layout.publish(res.triples, batch_id, precheck=False)
         if state is not None:
             _fold_entities(final, batch_id)
 

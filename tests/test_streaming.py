@@ -323,3 +323,30 @@ def test_batch_layout_compaction(spark, tmp_path):
         assert lay.has_batch(b)
     assert not lay.has_batch(9)
     assert lay.publish(spark.range(1).toDF("id"), 1) is False  # covered
+
+
+def test_batch_layout_gc_recovery_and_cli(spark, tmp_path):
+    """A crashed GC (covered dirs outliving the __c marker) is recovered
+    by the next compact(); the CLI reaches layout compaction."""
+    import os
+
+    from ner_linking_demo_spark import __main__ as CLI
+    from ner_linking_demo_spark.plans.fs import BatchLayout
+
+    lay = BatchLayout(spark, str(tmp_path / "lay"))
+    for b in range(4):
+        lay.publish(spark.range(b * 10, b * 10 + 5).toDF("id"), b)
+    before = {r["id"] for r in lay.read().select("id").collect()}
+    assert lay.compact(target_file_bytes=1 << 30) == 2
+
+    # simulate the crash window: resurrect a covered numeric partition
+    os.makedirs(lay.path(1), exist_ok=True)
+    assert lay.read().count() == len(before)  # read() still filters it
+    lay.compact()  # recovery sweep removes the stale covered dir
+    assert not os.path.exists(lay.path(1))
+
+    CLI.main(
+        ["--maintain", "compact", "--batch-layout", str(tmp_path / "lay")],
+        stop_session=False,
+    )
+    assert {r["id"] for r in lay.read().select("id").collect()} == before
