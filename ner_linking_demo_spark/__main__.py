@@ -131,8 +131,13 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
         # NULL text would collapse into one md5(NULL) dedup partition and
         # crash shingling; such pages are invalid input — drop them
         pages = pages.filter(F.col("text").isNotNull())
+        # the url string itself is the dedup/CC node id: a 64-bit hash
+        # id collides with statistical certainty at 10^12 pages and a
+        # collision can silently drop a distinct page as a near-dup
+        # cluster "loser" (connected_components casts ids to string
+        # anyway, and representative selection only needs a total order)
         docs = pages.select(
-            F.xxhash64("url").alias("doc_id"), "url", "text"
+            F.col("url").alias("doc_id"), "url", "text"
         )
         # kept is url-sized: materialize once instead of re-running the
         # dedup window + semi-join for every downstream action

@@ -126,6 +126,28 @@ class SignatureStore:
         return self._layout.compact(target_file_bytes)
 
 
+def _reject_compacted_replay(store: SignatureStore, batch_id) -> None:
+    """Raise when ``batch_id`` was folded into a ``__c<N>`` compaction
+    partition: its signatures now carry batch_id ``__cN`` so the
+    name-based self-exclusion in the history join cannot filter them,
+    and the recompute would report every doc as a duplicate of itself.
+    (The newest batch is never compacted — ``BatchLayout.compact`` keeps
+    it untouched — so the batches Structured Streaming can actually
+    replay are never affected.)"""
+    upto = store.compacted_upto()
+    if (
+        upto is not None
+        and str(batch_id).isdigit()
+        and int(batch_id) <= upto
+    ):
+        raise ValueError(
+            f"batch {batch_id} was compacted into batch_id=__c{upto}; "
+            "replaying it would see its own signatures as history and "
+            "mark every doc a self-duplicate. Use the published match "
+            "output for this batch instead of recomputing."
+        )
+
+
 def _estimated_jaccard(sig_a, sig_b) -> F.Column:
     """Fraction of agreeing minhash components — the unbiased MinHash
     estimator of Jaccard similarity."""
@@ -159,7 +181,18 @@ def incremental_neardup(
     matched historical/batch doc id and scope is 'history' or 'batch'
     (intra-batch matches report the lower id as ``dup_of``). The batch
     append is idempotent on ``batch_id``.
+
+    Replay idempotence holds for every batch that is still PUBLISHED
+    UNDER ITS OWN NAME: the self-exclusion below filters history on the
+    ``batch_id`` partition value. Once a batch has been folded into a
+    ``__c<N>`` compaction partition its rows carry batch_id ``__cN``, so
+    the name-based exclusion cannot see them and a recompute would match
+    every doc against its own stored signature (est_jaccard 1.0,
+    dup_of=doc_id). :func:`_reject_compacted_replay` turns that silent
+    wrong answer into an error — callers replaying old batches must keep
+    the published match output (or re-run before compacting).
     """
+    _reject_compacted_replay(store, batch_id)
     store.pin_params(n_hashes, bands, shingle_size, write=eager_isolation)
     sigs = minhash_signatures_df(
         new_docs, text_col=text_col, id_col=id_col, n_hashes=n_hashes,
@@ -299,7 +332,8 @@ def incremental_embedding_neardup(
 
     Returns (vec_id, dup_of, est_cosine, scope) with the same batch /
     history semantics, replay idempotence and parameter pinning as
-    :func:`incremental_neardup` (the pin records plane shapes)."""
+    :func:`incremental_neardup` (the pin records plane shapes; replay of
+    a compacted batch is rejected for the same reason)."""
     import numpy as np
 
     from .similarity import probe_masks
@@ -310,6 +344,7 @@ def incremental_embedding_neardup(
             (126, planes.shape[1])
         ).astype(np.float64)
     n_bits = sketch_planes.shape[0]
+    _reject_compacted_replay(store, batch_id)
     store.pin_params(
         n_hashes=1000 + n_bits,  # distinct namespace from MinHash stores
         bands=planes.shape[0],

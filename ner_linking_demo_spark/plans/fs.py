@@ -270,10 +270,17 @@ class BatchLayout:
         )
         upto = self.compacted_upto()
         if upto is not None:
+            # exclude BOTH covered numeric partitions AND stale __c<k>
+            # markers (k < upto): a compact() that crashed between the
+            # __c<upto> rename and _gc_covered() leaves the older
+            # consolidated partition on disk, and keeping it would
+            # double-count every row it holds (mirrors _gc_covered)
             b = F.col("batch_id").cast("string")
             covered = F.when(
                 b.rlike("^[0-9]+$"), b.cast("long") <= F.lit(upto)
-            ).otherwise(F.lit(False))
+            ).otherwise(
+                b.startswith("__c") & (b != F.lit(f"__c{upto}"))
+            )
             df = df.filter(~covered)
         return df
 

@@ -247,3 +247,27 @@ def test_incremental_embedding_neardup(spark, tmp_path):
         vdf([(10, base), (11, near), (12, -base)]), store, 2, planes,
     )
     assert {(r["vec_id"], r["dup_of"]) for r in m2r.collect()} == set(rows)
+
+
+def test_compacted_batch_replay_rejected(spark, store):
+    """Replaying a batch whose signatures were folded into a __c<N>
+    partition must raise: the name-based self-exclusion cannot see the
+    compacted rows, so the recompute would mark every doc a duplicate of
+    itself (est_jaccard 1.0) — an error beats that silent wrong answer."""
+    import pytest
+
+    for b in range(3):
+        incremental_neardup(
+            _docs(spark, [(b + 1, BASE + f" v{b}")]), store, batch_id=b
+        )
+    assert store.compact(target_file_bytes=1 << 30) == 1
+    for b in (0, 1):
+        with pytest.raises(ValueError, match="compacted"):
+            incremental_neardup(
+                _docs(spark, [(b + 1, BASE + f" v{b}")]), store, batch_id=b
+            )
+    # the latest (never-compacted) batch still replays fine
+    m = incremental_neardup(
+        _docs(spark, [(3, BASE + " v2")]), store, batch_id=2
+    )
+    assert all(r["dup_of"] != r["doc_id"] for r in m.collect())

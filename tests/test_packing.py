@@ -77,3 +77,67 @@ def test_pack_oversize_flagged(spark):
     assert len(over) == 1 and over[0]["doc_ids"] == [1]
     normal = [r for r in rows if not r["oversize"]]
     assert sorted(d for r in normal for d in r["doc_ids"]) == [2, 3]
+
+
+def test_packer_matches_firstfit_when_unbounded():
+    """GreedyPacker with close_below=0 and a huge cap IS pure first-fit."""
+    import random
+
+    from ner_linking_demo_spark.operators.packing import GreedyPacker
+
+    rng = random.Random(7)
+    items = [(i, rng.randrange(1, 130)) for i in range(2000)]
+    p = GreedyPacker(128, max_open_bins=10**9, close_below=0)
+    rows = []
+    for i, n in items:
+        rows.extend(p.add(i, n))
+    rows.extend(p.flush())
+    rows.sort(key=lambda r: r[0])
+    assert [(tuple(r[1]), r[3]) for r in rows] == _oracle_firstfit(
+        items, 128
+    )
+
+
+def test_open_bins_bounded_adversarial():
+    """Mostly-full windows (the worst case for first-fit's probe list):
+    every doc nearly fills a window, so no bin ever naturally closes —
+    the cap must bound both the probe list and the retained state."""
+    from ner_linking_demo_spark.operators.packing import GreedyPacker
+
+    p = GreedyPacker(100, max_open_bins=8, close_below=1)
+    rows = []
+    n_docs = 10_000
+    for i in range(n_docs):
+        rows.extend(p.add(i, 95))
+    rows.extend(p.flush())
+    assert p.max_open_seen <= 8
+    # coverage + capacity survive the retirement policy
+    packed = sorted(d for r in rows for d in r[1])
+    assert packed == list(range(n_docs))
+    assert all(r[3] <= 100 for r in rows)
+    # ordinals unique (ids assigned at creation, not at close)
+    assert len({r[0] for r in rows}) == len(rows)
+
+
+def test_pack_streaming_emission_spark(spark):
+    """Spark-side run with an adversarial fixture and a tiny cap:
+    retirement + per-batch emission keep invariants and determinism."""
+    docs = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        # 95 of every 100 docs nearly fill the window; 5 tiny
+        F.when(F.col("id") % 100 < 95, 95).otherwise(3).alias("n_tok"),
+    )
+    a = pack_sequences(
+        docs, max_tokens=100, tokens_col="n_tok", num_partitions=4,
+        max_open_bins=8,
+    ).collect()
+    packed = sorted(d for r in a for d in r["doc_ids"])
+    assert packed == list(range(3000))
+    assert all(r["total_tokens"] <= 100 for r in a)
+    b = pack_sequences(
+        docs, max_tokens=100, tokens_col="n_tok", num_partitions=4,
+        max_open_bins=8,
+    ).collect()
+    key = lambda r: r["seq_id"]
+    assert [(r["seq_id"], tuple(r["doc_ids"])) for r in sorted(a, key=key)] \
+        == [(r["seq_id"], tuple(r["doc_ids"])) for r in sorted(b, key=key)]

@@ -350,3 +350,34 @@ def test_batch_layout_gc_recovery_and_cli(spark, tmp_path):
         stop_session=False,
     )
     assert {r["id"] for r in lay.read().select("id").collect()} == before
+
+
+def test_batch_layout_stale_compaction_partition_excluded(spark, tmp_path):
+    """A compact() crash between the __c<upto> rename and _gc_covered()
+    can leave an OLDER __c<k> partition on disk; read() must see only
+    the newest consolidated partition (a stale one double-counts every
+    row of the older compaction) and the next compact() must GC it."""
+    import os
+    import shutil
+
+    from ner_linking_demo_spark.plans.fs import BatchLayout
+
+    lay = BatchLayout(spark, str(tmp_path / "lay"))
+    for b in range(4):
+        lay.publish(spark.range(b * 10, b * 10 + 5).toDF("id"), b)
+    before = {r["id"] for r in lay.read().select("id").collect()}
+    assert lay.compact(target_file_bytes=1 << 30) == 2
+
+    # simulate the crash window: an older consolidated partition that
+    # outlived its replacement (rows 0-14 are ALSO inside __c2)
+    stale = lay.path("__c1")
+    spark.range(0, 15).toDF("id").write.parquet("file://" + stale)
+    assert lay.compacted_upto() == 2
+    rows = lay.read().select("id").collect()
+    assert len(rows) == len(before)  # no double-counting
+    assert {r["id"] for r in rows} == before
+
+    # the next compact() recovery sweep removes the stale marker
+    lay.compact()
+    assert not os.path.exists(stale)
+    assert {r["id"] for r in lay.read().select("id").collect()} == before
