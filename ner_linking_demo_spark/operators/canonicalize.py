@@ -169,6 +169,7 @@ def incremental_components(
     new_edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
+    degenerate_guard: float | None = 0.5,
     **cc_kwargs,
 ) -> DataFrame:
     """Fold a batch of new alias edges into an existing (node, component)
@@ -189,6 +190,19 @@ def incremental_components(
     touched components -> members) + the CC iteration on the delta
     subgraph. The touched-component id set is typically dimension-sized:
     AQE broadcast-joins it at runtime.
+
+    ADVERSARIAL-MERGE BOUND: the O(delta + touched) cost claim assumes
+    batches touch a small slice of the graph. A batch whose edges land
+    in MOST components (e.g. a hub page linking everything) makes
+    ``affected`` approach the whole graph and the "delta" recompute
+    silently degenerates into a full CC plus the probe joins on top.
+    ``degenerate_guard`` makes that explicit: when the touched-member
+    fraction reaches the threshold, a warning is emitted and the fold
+    switches to a plain full recompute over {new edges} ∪ {all
+    membership edges} — same ids (property-tested), minus the now-
+    pointless anti-join bookkeeping. The guard costs two count jobs and
+    one materialization of the touched set per batch; pass ``None`` to
+    skip it on latency-critical paths where batches are known-small.
 
     Equivalence to full recompute is property-tested across random
     batch splits in tests/test_canonicalize.py.
@@ -214,6 +228,29 @@ def incremental_components(
         prev.join(touched_nodes, "node").select("component").distinct()
     )
     affected = prev.join(touched_comps, "component")
+    if degenerate_guard is not None:
+        # one materialization feeds the fraction probe AND the edge set
+        affected = affected.localCheckpoint(eager=True)
+        n_affected = affected.count()
+        n_prev = prev.count()
+        if n_prev and n_affected / n_prev >= degenerate_guard:
+            import warnings
+
+            warnings.warn(
+                f"incremental_components: batch touches {n_affected}/"
+                f"{n_prev} ({n_affected / n_prev:.0%}) of prior members "
+                f"(>= {degenerate_guard:.0%}); switching to full "
+                "recompute — the delta strategy has degenerated",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            full_edges = e.unionByName(
+                prev.select(
+                    F.col("node").alias("src"),
+                    F.col("component").alias("dst"),
+                )
+            )
+            return connected_components(full_edges, **cc_kwargs)
     edge_set = e.unionByName(
         affected.select(
             F.col("node").alias("src"), F.col("component").alias("dst")

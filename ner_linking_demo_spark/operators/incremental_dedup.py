@@ -32,6 +32,7 @@ handles the join itself.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -124,6 +125,67 @@ class SignatureStore:
         Streaming can replay, and incremental_neardup excludes a batch's
         own partition from history by NAME)."""
         return self._layout.compact(target_file_bytes)
+
+
+def resignature_store(
+    spark: SparkSession,
+    docs: DataFrame,
+    old_store: SignatureStore,
+    new_root: str,
+    n_hashes: int,
+    bands: int,
+    shingle_size: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> SignatureStore:
+    """Store MIGRATION: the job to run when pinned hashing params must
+    change (wider ``n_hashes`` for a tighter history-Jaccard estimate,
+    different banding for a new threshold). Signatures under different
+    params are NOT comparable and NOT convertible — min-hashes of one
+    seed set say nothing about another's — so migration re-shingles the
+    ORIGINAL texts (``docs``: every id the old store holds, with text)
+    and publishes fresh signatures into ``new_root`` pinned to the new
+    params.
+
+    Batch structure carries over: each old batch (including consolidated
+    ``__c<N>`` partitions, which keep their pseudo-id so the new store
+    reports the same ``compacted_upto`` and rejects the same replays) is
+    re-signed and published under its old batch_id — one Spark job per
+    batch, driver loop over the O(#batches) id list. Ids present in the
+    store but missing from ``docs`` raise: silently dropping them would
+    turn future history matches into false negatives."""
+    hist = old_store.read()
+    new_store = SignatureStore(spark, new_root)
+    new_store.pin_params(n_hashes, bands, shingle_size, write=True)
+    if hist is None:
+        return new_store
+    src = docs.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    members = hist.select(
+        "id", F.col("batch_id").cast("string").alias("batch_id")
+    ).distinct()
+    n_missing = members.join(src, "id", "left_anti").count()
+    if n_missing:
+        raise ValueError(
+            f"{n_missing} ids in the signature store have no text in "
+            "the docs input — a re-signed store missing them would "
+            "silently stop matching their duplicates"
+        )
+    batch_ids = sorted(
+        r["batch_id"]
+        for r in members.select("batch_id").distinct().collect()
+    )
+    for b in batch_ids:
+        ids_b = members.filter(F.col("batch_id") == b).select("id")
+        docs_b = src.join(ids_b, "id")
+        sigs = minhash_signatures_df(
+            docs_b, text_col="text", id_col="id",
+            n_hashes=n_hashes, shingle_size=shingle_size,
+        )
+        banded = minhash_band_buckets(sigs, n_hashes, bands)
+        new_store.append(banded, b)
+    return new_store
 
 
 def _reject_compacted_replay(store: SignatureStore, batch_id) -> None:
@@ -276,10 +338,12 @@ def incremental_neardup(
 # Embedding variant: sign-sketch store for cosine near-dup vs history
 # ---------------------------------------------------------------------------
 
-def _sign_sketch(emb, planes_cols):
+def _sign_sketch_expr(emb, planes_cols):
     """Hyperplane sign bits packed into longs — the SimHash-for-cosine
     sketch (Charikar '02): P(signs agree) = 1 - theta/pi, so
-    cos(pi * hamming / n_bits) is an unbiased-angle cosine estimate."""
+    cos(pi * hamming / n_bits) is an unbiased-angle cosine estimate.
+    Interpreted-expression form: planes x dim higher-order ops per row,
+    fine for narrow sketches only."""
     from .similarity import _dot
 
     words = []
@@ -292,6 +356,61 @@ def _sign_sketch(emb, planes_cols):
             ).otherwise(F.lit(0).cast("long"))
         words.append(bits)
     return F.array(*words)
+
+
+def sign_sketch_udf(sketch_planes):
+    """Arrow-batched sketch: ONE numpy matmul per batch producing every
+    sketch word at once, vs planes x dim interpreted higher-order ops
+    per row in the expression form. Same sign semantics (float64 dot >
+    0); parity-tested against :func:`_sign_sketch_expr` like
+    ``lsh_bucket_udf``."""
+    import numpy as np
+
+    pt = sketch_planes.astype(np.float64).T
+    n = sketch_planes.shape[0]
+    n_words = -(-n // 63)
+    weights = []  # per word: int64 place values of its (<=63) bits
+    for w in range(n_words):
+        k = min(63, n - w * 63)
+        weights.append((1 << np.arange(k)).astype(np.int64))
+
+    @F.pandas_udf("array<long>")
+    def sketch(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype="object")
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        signs = (mat @ pt) > 0
+        words = [
+            (signs[:, w * 63:(w + 1) * 63] @ weights[w]) for w in range(n_words)
+        ]
+        return pd.Series(list(np.stack(words, axis=1)))
+
+    return sketch
+
+
+def _sign_sketch(emb, sketch_planes, method: str = "auto"):
+    """Auto-switch between the interpreted expression form and the
+    one-matmul-per-batch Arrow UDF on the same planes x dim budget as
+    ``similarity._bucket_col`` — at the default 126 sketch planes and
+    dim >= 17 the batched form wins (126 x 64 = 8064 interpreted ops/row
+    is 4x over the budget)."""
+    from .similarity import _AUTO_EXPR_BUDGET
+
+    if method == "auto":
+        method = (
+            "expr"
+            if sketch_planes.shape[0] * sketch_planes.shape[1]
+            <= _AUTO_EXPR_BUDGET
+            else "pandas"
+        )
+    if method == "expr":
+        planes_cols = [
+            F.array(*[F.lit(float(x)) for x in row]) for row in sketch_planes
+        ]
+        return _sign_sketch_expr(emb, planes_cols)
+    if method == "pandas":
+        return sign_sketch_udf(sketch_planes)(emb)
+    raise ValueError(f"unknown sketch method: {method!r}")
 
 
 def _est_cosine(sk_a, sk_b, n_bits: int):
@@ -318,6 +437,7 @@ def incremental_embedding_neardup(
     probe_bits: int = 1,
     max_candidates_per_doc: int = 64,
     eager_isolation: bool = True,
+    sketch_method: str = "auto",
 ) -> DataFrame:
     """Cosine near-duplicate detection of new vectors against an
     append-only SKETCH store — no embedding is ever stored or shuffled.
@@ -352,13 +472,10 @@ def incremental_embedding_neardup(
         write=eager_isolation,
     )
 
-    def plane_cols(pl):
-        return [F.array(*[F.lit(float(x)) for x in row]) for row in pl]
-
     emb = F.col(emb_col).cast("array<double>")
     base = new_vecs.select(
         F.col(id_col).alias("id"),
-        _sign_sketch(emb, plane_cols(sketch_planes)).alias("sig"),
+        _sign_sketch(emb, sketch_planes, method=sketch_method).alias("sig"),
         _bucket_from_planes(emb, planes).alias("bucket0"),
     )
     masks = probe_masks(planes.shape[0], probe_bits)

@@ -74,14 +74,15 @@ def run_corpus_pipeline(
     text_col: str = "text",
     checkpoint_dir: str | None = None,
     input_sig: str | None = None,
-    collect_stats: bool = True,
+    collect_stats: bool = False,
 ) -> CorpusResult:
     """docs -> deduplicated, filtered corpus. ``kept`` carries the
     annotation columns plus ``content_hash``/``dup_count`` from exact
-    dedup. ``stats`` records per-stage surviving counts (one distributed
-    count per stage; skip with ``collect_stats=False`` for pure
-    throughput runs — checkpointed runs get the same numbers for free
-    from the lineage log)."""
+    dedup. ``stats`` records per-stage surviving counts when
+    ``collect_stats=True`` — four extra distributed counts per run, so
+    the throughput path defaults them OFF (checkpointed runs get the
+    same numbers for free from the lineage log; ad-hoc diagnostics can
+    opt in)."""
     sig = input_sig or f"docs|{docs.schema.simpleString()}"
     conf = (
         f"{lang_allow}|{min_quality}|{min_tokens}|{near_dup}|{n_hashes}"

@@ -44,10 +44,25 @@ class QueryDef:
 
 QUERIES: list[QueryDef] = []
 
+# Entries rotated out of the 50-slot driver window (the driver checks
+# only the first 50 queries) to make room for composition oracles. They
+# keep the SAME oracle-grade check, just pytest-gated instead of
+# driver-gated: tests/test_retired_entries.py runs the identical
+# compare (rows + sorted columns + order-insensitive value hash).
+RETIRED: list[QueryDef] = []
+
 
 def q(name: str, sql: str | None):
     def deco(fn):
         QUERIES.append(QueryDef(name, fn, sql))
+        return fn
+
+    return deco
+
+
+def q_retired(name: str, sql: str | None):
+    def deco(fn):
+        RETIRED.append(QueryDef(name, fn, sql))
         return fn
 
     return deco
@@ -534,7 +549,10 @@ def dedup_exact(spark, sf_dir):
     )
 
 
-@q(
+# Driver slot rotated in round 4: dedup_minhash_lsh recomputes
+# signatures on the same fixture (subsumes this leaf); the expression
+# form stays oracle-compared in pytest via RETIRED.
+@q_retired(
     "dedup_minhash_signature",
     """
     SELECT doc_id,
@@ -598,6 +616,212 @@ def dedup_minhash_lsh(spark, sf_dir):
     )
     return pairs.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+@q(
+    "corpus_pipeline_kept",
+    f"""
+    WITH RECURSIVE base AS ({_DUPED_DOCS_SQL}),
+    ann AS (
+      SELECT doc_id, text,
+             CAST(len(regexp_extract_all(trim(text), '\\S+')) AS BIGINT)
+               AS n_tokens
+      FROM base
+    ),
+    filt AS (SELECT * FROM ann WHERE n_tokens >= 30),
+    exact AS (
+      SELECT doc_id, text, n_tokens, md5(text) AS content_hash,
+             COUNT(*) OVER (PARTITION BY md5(text)) AS dup_count,
+             ROW_NUMBER() OVER (PARTITION BY md5(text) ORDER BY doc_id)
+               AS rn
+      FROM filt
+    ),
+    surv AS (SELECT * FROM exact WHERE rn = 1),
+    sh AS (
+      SELECT doc_id,
+             list_distinct(CASE WHEN len(toks) >= 3 THEN
+               list_transform(generate_series(1, len(toks) - 2),
+                              i -> array_to_string(toks[i:i+2], ' '))
+               ELSE [array_to_string(toks, ' ')] END) AS grams
+      FROM (SELECT doc_id, regexp_extract_all(trim(text), '\\S+') AS toks
+            FROM surv)
+    ),
+    pairs AS (
+      SELECT CAST(a.doc_id AS VARCHAR) AS src,
+             CAST(b.doc_id AS VARCHAR) AS dst
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.grams, b.grams))::DOUBLE /
+            len(list_distinct(list_concat(a.grams, b.grams))) >= 0.7
+    ),
+    bi AS (SELECT src, dst FROM pairs UNION SELECT dst, src FROM pairs),
+    r(node, lbl) AS (
+      SELECT src, src FROM bi
+      UNION
+      SELECT bi.dst, r.lbl FROM r JOIN bi ON bi.src = r.node
+    ),
+    comp AS (SELECT node, MIN(lbl) AS component FROM r GROUP BY node),
+    losers AS (SELECT node FROM comp WHERE node != component)
+    SELECT doc_id, content_hash, dup_count, n_tokens FROM surv
+    WHERE CAST(doc_id AS VARCHAR) NOT IN (SELECT node FROM losers)
+    """,
+)
+def corpus_pipeline_kept(spark, sf_dir):
+    """The round-3 corpus preprocessing COMPOSITION, driver-oracled
+    end-to-end (r03 verdict item 1a): annotate -> min_tokens filter ->
+    exact dedup (min-id representative) -> near-dup LSH + connected
+    components -> representative anti-join. The DuckDB oracle recomputes
+    the whole chain declaratively: token-count filter, md5 window dedup,
+    ground-truth all-pairs Jaccard >= 0.7 (LSH at 4x4 has full recall on
+    this fixture — proven by the green dedup_minhash_lsh entry), then a
+    recursive label closure whose MIN(lbl) over VARCHAR mirrors the
+    engine CC's lexicographic-min component convention."""
+    from .corpus_pipeline import run_corpus_pipeline
+
+    res = run_corpus_pipeline(
+        spark,
+        _duped_docs(spark, sf_dir),
+        min_tokens=30,
+        near_dup=True,
+        jaccard_threshold=0.7,
+    )
+    return res.kept.select(
+        "doc_id", "content_hash", "dup_count", "n_tokens"
+    )
+
+
+@q(
+    "incremental_neardup_replay",
+    """
+    WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
+    b1 AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id >= 60 AND doc_id < 100
+      UNION ALL
+      SELECT doc_id + 100000 AS doc_id, text FROM documents
+      WHERE doc_id < 60 AND doc_id % 3 = 0
+      UNION ALL
+      SELECT doc_id + 200000 AS doc_id, text FROM documents
+      WHERE doc_id >= 60 AND doc_id < 100 AND doc_id % 7 = 0
+    )
+    SELECT a.doc_id AS doc_id, b.doc_id AS dup_of, 'batch' AS scope,
+           CAST(1.0 AS DOUBLE) AS est_jaccard
+    FROM b1 a JOIN b1 b
+      ON md5(a.text) = md5(b.text) AND b.doc_id < a.doc_id
+    UNION ALL
+    SELECT a.doc_id AS doc_id, h.doc_id AS dup_of, 'history' AS scope,
+           CAST(1.0 AS DOUBLE) AS est_jaccard
+    FROM b1 a JOIN b0 h ON md5(a.text) = md5(h.text)
+    """,
+)
+def incremental_neardup_replay(spark, sf_dir):
+    """Two batches through a fresh SignatureStore, returning the REPLAY
+    of batch 1 (r03 verdict item 1b): batch 0 = docs <60; batch 1 = docs
+    60-99 + exact copies of every 3rd batch-0 doc (history-scope
+    matches) + exact copies of every 7th batch-1 doc (batch-scope
+    matches). The third call re-runs an already-published batch, so it
+    exercises the name-based self-exclusion (its own signatures must NOT
+    appear as history) and publish idempotence.
+
+    The oracle is exact WITHOUT reproducing xxhash64 in SQL: planted
+    duplicates are byte-identical texts -> identical shingle sets ->
+    identical MinHash signatures -> est_jaccard exactly 1.0 and
+    guaranteed band collision; non-identical word-salad docs share too
+    few shingles to reach est 0.8 with 16 components, or even a shared
+    band bucket, so text equality (md5 join) IS the match set."""
+    import tempfile
+
+    from ..operators.incremental_dedup import (
+        SignatureStore,
+        incremental_neardup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    b0 = d.filter("doc_id < 60").select("doc_id", "text")
+    b1 = (
+        d.filter("doc_id >= 60 and doc_id < 100")
+        .select("doc_id", "text")
+        .unionByName(
+            d.filter("doc_id < 60 and doc_id % 3 = 0").select(
+                (F.col("doc_id") + 100000).alias("doc_id"), "text"
+            )
+        )
+        .unionByName(
+            d.filter(
+                "doc_id >= 60 and doc_id < 100 and doc_id % 7 = 0"
+            ).select((F.col("doc_id") + 200000).alias("doc_id"), "text")
+        )
+    )
+    root = tempfile.mkdtemp(prefix="nlds_incdd_entry_")
+    store = SignatureStore(spark, root)
+    incremental_neardup(b0, store, batch_id=0, est_threshold=0.8)
+    incremental_neardup(b1, store, batch_id=1, est_threshold=0.8)
+    return incremental_neardup(b1, store, batch_id=1, est_threshold=0.8)
+
+
+def _pack_fixture_items() -> list[tuple[int, int]]:
+    """500 docs with formula token counts 1..160 (some > the 128-token
+    window -> oversize singletons). A closed-form fixture because the
+    oracle is a registration-time VALUES literal (greedy first-fit is
+    inherently sequential — SQL can't express it declaratively; the
+    in-repo precedent is kg_disambiguation)."""
+    return [(i, 1 + (i * 37) % 160) for i in range(500)]
+
+
+def _pack_sequences_sql() -> str:
+    """Literal-VALUES oracle from the pure-python GreedyPacker core —
+    itself parity-tested against an independent first-fit oracle in
+    tests/test_packing.py. The driver row then checks the DISTRIBUTED
+    form (hash partition -> sortWithinPartitions -> mapInPandas with
+    per-batch emission) against that reference semantic."""
+    import json
+
+    from ..operators.packing import GreedyPacker
+
+    p = GreedyPacker(128)
+    rows: list[tuple] = []
+    for i, n in _pack_fixture_items():
+        rows.extend(p.add(i, n))
+    rows.extend(p.flush())
+    rows.sort(key=lambda r: r[0])
+    vals = ",\n      ".join(
+        "('00000-{:08d}', '{}', {}, {}, {})".format(
+            ordinal,
+            json.dumps(ids, separators=(",", ":")),
+            n,
+            tot,
+            str(over).lower(),
+        )
+        for ordinal, ids, n, tot, over in rows
+    )
+    return (
+        "SELECT * FROM (VALUES\n      "
+        + vals
+        + ") AS t(seq_id, doc_ids, n_docs, total_tokens, oversize)"
+    )
+
+
+@q("pack_sequences", _pack_sequences_sql())
+def pack_sequences_entry(spark, sf_dir):
+    """Greedy sequence packing, driver-oracled (r03 verdict item 1c) on
+    a single partition so the packing order is the full id order.
+    doc_ids ships as to_json (container cells are forbidden in query
+    outputs — driver canonicalizer contract)."""
+    from ..operators.packing import pack_sequences
+
+    docs = spark.range(0, 500).select(
+        F.col("id").alias("doc_id"),
+        (F.lit(1) + F.pmod(F.col("id") * 37, F.lit(160))).alias("n_tok"),
+    )
+    out = pack_sequences(
+        docs, max_tokens=128, tokens_col="n_tok", num_partitions=1
+    )
+    return out.select(
+        "seq_id",
+        F.to_json("doc_ids").alias("doc_ids"),
+        "n_docs",
+        "total_tokens",
+        "oversize",
     )
 
 
@@ -1082,7 +1306,11 @@ from . import kg_oracles as _KG  # noqa: E402
 _HGAZ = _harness_gazetteer()
 
 
-@q("kg_detect_mentions", _KG.detect_mentions_sql(_HGAZ))
+# Driver slot rotated in round 4 per the r03 verdict: the gazetteer
+# detect_mentions chain stays driver-covered by kg_triples_e2e (which
+# drives this provider end-to-end) and the same oracle compare runs in
+# pytest via RETIRED.
+@q_retired("kg_detect_mentions", _KG.detect_mentions_sql(_HGAZ))
 def kg_detect_mentions(spark, sf_dir):
     from ..operators.ner import detect_mentions
 
@@ -1105,7 +1333,10 @@ def kg_detect_mentions_iob(spark, sf_dir):
     )
 
 
-@q(
+# Driver slot rotated in round 4: the M1->M3 chain keeps x3 driver rows
+# via _iob/_ensemble/_multitype; the crf_vote converter variant stays
+# oracle-compared in pytest via RETIRED.
+@q_retired(
     "kg_detect_mentions_crf",
     _KG.iob_detect_sql(where="WHERE doc_id < 150", converter="crf_vote"),
 )

@@ -275,9 +275,13 @@ class BatchLayout:
             # __c<upto> rename and _gc_covered() leaves the older
             # consolidated partition on disk, and keeping it would
             # double-count every row it holds (mirrors _gc_covered)
+            # try_cast, not when(rlike)+cast: the optimizer may pull the
+            # cast out of the CaseWhen guard during partition pruning,
+            # and an ANSI cast of '__cN' would then throw
             b = F.col("batch_id").cast("string")
+            n = b.try_cast("long")
             covered = F.when(
-                b.rlike("^[0-9]+$"), b.cast("long") <= F.lit(upto)
+                n.isNotNull(), n <= F.lit(upto)
             ).otherwise(
                 b.startswith("__c") & (b != F.lit(f"__c{upto}"))
             )

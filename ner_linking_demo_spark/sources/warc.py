@@ -157,28 +157,50 @@ def pages_from_warc(
 
 
 def write_warc_fixture(
-    pages_pdf: pd.DataFrame, path: str, compress: bool = False
+    pages_pdf: pd.DataFrame,
+    path: str,
+    compress: bool = False,
+    member_gzip: bool = False,
+    record_type: str = "resource",
 ) -> None:
-    """Deterministic WARC/1.0 writer for tests/benchmarks: one
-    ``resource`` record per page row (url, warc_ts, html). Driver-side,
-    fixture-sized by design."""
-    out = io.BytesIO()
+    """Deterministic WARC/1.0 writer for tests/benchmarks: one record
+    per page row (url, warc_ts, html). Driver-side, fixture-sized by
+    design.
+
+    ``member_gzip=True`` gzips EACH RECORD as its own gzip member and
+    concatenates them — the layout Common Crawl actually ships (so byte
+    ranges are seekable per record); ``compress=True`` gzips the whole
+    stream as one member. ``record_type='response'`` wraps each body in
+    an HTTP/1.1 envelope (status line + headers + blank line), the shape
+    of a real crawl capture."""
+    members: list[bytes] = []
     for _, r in pages_pdf.iterrows():
         body: bytes = bytes(r["html"])
+        if record_type == "response":
+            body = (
+                b"HTTP/1.1 200 OK\r\n"
+                b"Content-Type: text/html; charset=utf-8\r\n"
+                + f"Content-Length: {len(body)}\r\n\r\n".encode()
+                + body
+            )
         ts = pd.Timestamp(r["warc_ts"])
         header = (
             "WARC/1.0\r\n"
-            "WARC-Type: resource\r\n"
+            f"WARC-Type: {record_type}\r\n"
             f"WARC-Target-URI: {r['url']}\r\n"
             f"WARC-Date: {ts.strftime('%Y-%m-%dT%H:%M:%SZ')}\r\n"
             f"Content-Length: {len(body)}\r\n"
             "\r\n"
         ).encode("utf-8")
-        out.write(header)
-        out.write(body)
-        out.write(b"\r\n\r\n")
-    data = out.getvalue()
-    if compress:
-        data = gzip.compress(data)
+        members.append(header + body + b"\r\n\r\n")
+    if member_gzip:
+        # mtime=0: byte-deterministic fixture across runs
+        data = b"".join(
+            gzip.compress(m, mtime=0) for m in members
+        )
+    else:
+        data = b"".join(members)
+        if compress:
+            data = gzip.compress(data, mtime=0)
     with open(path, "wb") as f:
         f.write(data)

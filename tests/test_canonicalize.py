@@ -132,3 +132,58 @@ def test_cc_empty_edges_schema_stable(spark):
         out = connected_components(empty, driver_threshold=thresh)
         assert out.count() == 0
         assert [f.name for f in out.schema.fields] == ["node", "component"]
+
+
+def test_incremental_degenerate_merge_guard(spark):
+    """A batch whose edges touch (nearly) every prior component makes the
+    delta strategy pointless — affected ~= the whole graph. The guard
+    must warn and switch to a full recompute with IDENTICAL ids; with
+    degenerate_guard=None the delta path still returns the same ids
+    silently."""
+    import warnings as W
+
+    from ner_linking_demo_spark.operators.canonicalize import (
+        incremental_components,
+    )
+
+    base = [(f"x{i}a", f"x{i}b") for i in range(10)]  # 10 components
+    assign = connected_components(spark.createDataFrame(base, ["src", "dst"]))
+    # hub batch: one node links into EVERY component
+    delta = [("hub", f"x{i}a") for i in range(10)]
+    want = oracle_components(base + delta)
+
+    with pytest.warns(RuntimeWarning, match="degenerated"):
+        out = incremental_components(
+            assign, spark.createDataFrame(delta, ["src", "dst"])
+        )
+        got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == want
+
+    with W.catch_warnings():
+        W.simplefilter("error")  # any warning would fail the test
+        out2 = incremental_components(
+            assign,
+            spark.createDataFrame(delta, ["src", "dst"]),
+            degenerate_guard=None,
+        )
+        got2 = {r["node"]: r["component"] for r in out2.collect()}
+    assert got2 == want
+
+
+def test_incremental_guard_quiet_on_small_batches(spark):
+    """Normal small batches must NOT trip the degenerate-merge guard."""
+    import warnings as W
+
+    from ner_linking_demo_spark.operators.canonicalize import (
+        incremental_components,
+    )
+
+    base = [(f"y{i}a", f"y{i}b") for i in range(20)]
+    assign = connected_components(spark.createDataFrame(base, ["src", "dst"]))
+    with W.catch_warnings():
+        W.simplefilter("error", RuntimeWarning)
+        out = incremental_components(
+            assign, spark.createDataFrame([("y0a", "y1a")], ["src", "dst"])
+        )
+        got = {r["node"]: r["component"] for r in out.collect()}
+    assert got == oracle_components(base + [("y0a", "y1a")])

@@ -41,7 +41,7 @@ def docs(spark):
 def test_corpus_pipeline_matches_python_composition(spark, docs):
     res = run_corpus_pipeline(
         spark, docs, min_quality=None, min_tokens=5, near_dup=True,
-        jaccard_threshold=0.5,
+        jaccard_threshold=0.5, collect_stats=True,
     )
     kept_ids = {r["doc_id"] for r in res.kept.select("doc_id").collect()}
 

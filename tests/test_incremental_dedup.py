@@ -271,3 +271,103 @@ def test_compacted_batch_replay_rejected(spark, store):
         _docs(spark, [(3, BASE + " v2")]), store, batch_id=2
     )
     assert all(r["dup_of"] != r["doc_id"] for r in m.collect())
+
+
+def test_sign_sketch_udf_parity_with_expression(spark):
+    """The Arrow-batched sketch (one matmul per batch) and the
+    interpreted expression form must agree bit-for-bit — same float64
+    dot > 0 semantics (mirrors the lsh_bucket_udf parity test); the
+    default 126-plane sketch must land on the batched form (its
+    planes x dim cost is ~4x over the expression budget)."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ner_linking_demo_spark.operators.incremental_dedup import (
+        _sign_sketch,
+    )
+
+    rng = np.random.default_rng(11)
+    dim = 64
+    sketch_planes = rng.standard_normal((126, dim)).astype(np.float64)
+    vecs = spark.createDataFrame(
+        [(i, [float(x) for x in rng.standard_normal(dim)]) for i in range(40)],
+        "vec_id long, embedding array<float>",
+    )
+    emb = F.col("embedding").cast("array<double>")
+    both = vecs.select(
+        "vec_id",
+        _sign_sketch(emb, sketch_planes, method="expr").alias("a"),
+        _sign_sketch(emb, sketch_planes, method="pandas").alias("b"),
+    ).collect()
+    assert len(both) == 40
+    for r in both:
+        assert r["a"] == r["b"], r["vec_id"]
+
+    # auto at 126 x 64 = 8064 > budget -> the Arrow-batched plan
+    auto = vecs.select(_sign_sketch(emb, sketch_planes).alias("s"))
+    plan = auto._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+
+
+def test_pin_mismatch_then_resignature_migration(spark, tmp_path):
+    """Changing hashing params against a pinned store must refuse; the
+    documented migration path (resignature_store: re-shingle original
+    texts, republish per batch under the new pin) must yield a store
+    that finds the same duplicates under the new params — including
+    preserved compaction state and replay rejection."""
+    import pytest
+
+    from ner_linking_demo_spark.operators.incremental_dedup import (
+        SignatureStore,
+        incremental_neardup,
+        resignature_store,
+    )
+
+    old = SignatureStore(spark, str(tmp_path / "old"))
+    batches = {
+        0: [(1, BASE)],
+        1: [(2, BASE + " uno")],
+        2: [(3, "texto sin relación con los otros documentos del corpus "
+                "palabras únicas que nadie más comparte en absoluto")],
+    }
+    for b, docs in batches.items():
+        incremental_neardup(_docs(spark, docs), old, batch_id=b)
+    assert old.compact(target_file_bytes=1 << 30) == 1
+
+    # in-place param change refuses (the pin)
+    with pytest.raises(ValueError, match="not comparable"):
+        incremental_neardup(
+            _docs(spark, [(9, BASE)]), old, batch_id=3, n_hashes=64,
+        )
+
+    all_docs = _docs(
+        spark, [d for docs in batches.values() for d in docs]
+    )
+    new = resignature_store(
+        spark, all_docs, old, str(tmp_path / "new"),
+        n_hashes=64, bands=8, shingle_size=3,
+    )
+    assert new.params() == {
+        "n_hashes": 64, "bands": 8, "shingle_size": 3
+    }
+    assert new.compacted_upto() == 1  # compaction state carries over
+    # wider signatures: same duplicate found, now at n=64 precision
+    m = incremental_neardup(
+        _docs(spark, [(9, BASE)]), new, batch_id=3,
+        n_hashes=64, bands=8,
+    )
+    assert {(r["doc_id"], r["dup_of"]) for r in m.collect()} >= {(9, 1)}
+    # replay of a batch covered by the migrated compaction still rejects
+    with pytest.raises(ValueError, match="compacted"):
+        incremental_neardup(
+            _docs(spark, [(1, BASE)]), new, batch_id=0,
+            n_hashes=64, bands=8,
+        )
+
+    # missing texts must refuse, not silently shrink history
+    with pytest.raises(ValueError, match="no text"):
+        resignature_store(
+            spark, _docs(spark, [(1, BASE)]), old,
+            str(tmp_path / "new2"), n_hashes=64, bands=8, shingle_size=3,
+        )

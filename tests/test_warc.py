@@ -100,3 +100,55 @@ def test_cli_warc_input(spark, warc_dir, tmp_path):
         f"SELECT count(*) AS n FROM '{out}/triples/*.parquet'"
     ).df()["n"][0]
     assert n > 0
+
+
+def test_warc_golden_roundtrip_cli_parity(spark, tmp_path):
+    """Round-4 verdict item 4 — the full fidelity chain at the USER
+    surface: a golden .warc.gz with PER-RECORD gzip members (the actual
+    Common Crawl layout) and HTTP-response envelopes, driven through the
+    CLI with --pages-format warc, must produce (a) byte-identical
+    extracted text and (b) exactly the triples of the same pages fed
+    through the parquet path."""
+    import duckdb
+
+    from ner_linking_demo_spark import __main__ as CLI
+
+    gaz = FX.gen_gazetteer(n_codes=15)
+    pages = FX.gen_pages(n_pages=12, gazetteer=gaz)
+    warc = tmp_path / "golden.warc.gz"
+    W.write_warc_fixture(
+        pages, str(warc), member_gzip=True, record_type="response"
+    )
+
+    # (a) extraction fidelity straight off the archive
+    tx = {
+        r["url"]: r["text"]
+        for r in W.pages_from_warc(spark, str(warc)).collect()
+    }
+    assert tx == dict(zip(pages["url"], pages["text"]))
+
+    tsv = tmp_path / "gaz.tsv"
+    gaz.to_csv(tsv, sep="\t", index=False)
+    FX.pages_to_spark(spark, pages).write.parquet(str(tmp_path / "pq"))
+
+    CLI.main(
+        ["--pages", str(warc), "--pages-format", "warc",
+         "--gazetteer", str(tsv), "--out", str(tmp_path / "kg_warc"),
+         "--k", "3"],
+        stop_session=False,
+    )
+    CLI.main(
+        ["--pages", str(tmp_path / "pq"),
+         "--gazetteer", str(tsv), "--out", str(tmp_path / "kg_pq"),
+         "--k", "3"],
+        stop_session=False,
+    )
+    q = (
+        "SELECT subj, pred, code, start, \"end\", rank, span "
+        "FROM '{}/triples/*.parquet'"
+    )
+    a = {tuple(r) for r in duckdb.sql(
+        q.format(tmp_path / "kg_warc")).fetchall()}
+    b = {tuple(r) for r in duckdb.sql(
+        q.format(tmp_path / "kg_pq")).fetchall()}
+    assert a and a == b  # archive-in => identical triples-out
