@@ -170,6 +170,7 @@ def incremental_components(
     src: str = "src",
     dst: str = "dst",
     degenerate_guard: float | None = 0.5,
+    degenerate_floor: int = 100_000,
     **cc_kwargs,
 ) -> DataFrame:
     """Fold a batch of new alias edges into an existing (node, component)
@@ -200,9 +201,17 @@ def incremental_components(
     fraction reaches the threshold, a warning is emitted and the fold
     switches to a plain full recompute over {new edges} ∪ {all
     membership edges} — same ids (property-tested), minus the now-
-    pointless anti-join bookkeeping. The guard costs two count jobs and
-    one materialization of the touched set per batch; pass ``None`` to
-    skip it on latency-critical paths where batches are known-small.
+    pointless anti-join bookkeeping.
+
+    Guard cost is bounded so the per-batch streaming fold doesn't pay
+    an O(state) job for protection it rarely needs: the touched set is
+    materialized (it feeds the edge set anyway) and counted — that count
+    is delta-sized on normal batches — and the DENOMINATOR job
+    (``prev.count()``) only runs once ``n_affected >=
+    degenerate_floor``. Below the floor the delta recompute is cheap no
+    matter what fraction it is, so knowing the fraction buys nothing.
+    Pass ``degenerate_guard=None`` to skip entirely, or
+    ``degenerate_floor=0`` to always evaluate the fraction (tests do).
 
     Equivalence to full recompute is property-tested across random
     batch splits in tests/test_canonicalize.py.
@@ -232,7 +241,10 @@ def incremental_components(
         # one materialization feeds the fraction probe AND the edge set
         affected = affected.localCheckpoint(eager=True)
         n_affected = affected.count()
-        n_prev = prev.count()
+        # the O(state) denominator count only runs past the floor
+        n_prev = (
+            prev.count() if n_affected >= degenerate_floor else None
+        )
         if n_prev and n_affected / n_prev >= degenerate_guard:
             import warnings
 

@@ -162,23 +162,33 @@ def resignature_store(
     src = docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
-    members = hist.select(
-        "id", F.col("batch_id").cast("string").alias("batch_id")
-    ).distinct()
-    n_missing = members.join(src, "id", "left_anti").count()
-    if n_missing:
+    # ONE store scan + ONE docs scan, materialized once; the per-batch
+    # driver loop then filters the checkpointed (id, batch_id, text) set
+    # instead of re-running both scans O(#batches) times. The
+    # materialization is corpus-sized — the inherent cost of a job that
+    # must re-shingle every stored text anyway, paid to local disk once.
+    members = (
+        hist.select(
+            "id", F.col("batch_id").cast("string").alias("batch_id")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    work = members.join(src, "id").localCheckpoint(eager=True)
+    n_store_ids = members.select("id").distinct().count()
+    n_work_ids = work.select("id").distinct().count()
+    if n_work_ids < n_store_ids:
         raise ValueError(
-            f"{n_missing} ids in the signature store have no text in "
-            "the docs input — a re-signed store missing them would "
-            "silently stop matching their duplicates"
+            f"{n_store_ids - n_work_ids} ids in the signature store "
+            "have no text in the docs input — a re-signed store missing "
+            "them would silently stop matching their duplicates"
         )
     batch_ids = sorted(
         r["batch_id"]
         for r in members.select("batch_id").distinct().collect()
     )
     for b in batch_ids:
-        ids_b = members.filter(F.col("batch_id") == b).select("id")
-        docs_b = src.join(ids_b, "id")
+        docs_b = work.filter(F.col("batch_id") == b).select("id", "text")
         sigs = minhash_signatures_df(
             docs_b, text_col="text", id_col="id",
             n_hashes=n_hashes, shingle_size=shingle_size,
@@ -378,39 +388,41 @@ def sign_sketch_udf(sketch_planes):
     def sketch(emb: pd.Series) -> pd.Series:
         if emb.empty:
             return pd.Series([], dtype="object")
-        mat = np.stack(emb.to_numpy()).astype(np.float64)
-        signs = (mat @ pt) > 0
-        words = [
-            (signs[:, w * 63:(w + 1) * 63] @ weights[w]) for w in range(n_words)
-        ]
-        return pd.Series(list(np.stack(words, axis=1)))
+        # NULL embeddings -> all-zero words, matching the expression
+        # form (NULL dot > 0 -> otherwise(0) per plane)
+        valid = emb.map(lambda v: v is not None)
+        out_words = np.zeros((len(emb), n_words), dtype=np.int64)
+        if valid.any():
+            mat = np.stack(emb[valid].to_numpy()).astype(np.float64)
+            signs = (mat @ pt) > 0
+            packed = np.stack(
+                [
+                    signs[:, w * 63:(w + 1) * 63] @ weights[w]
+                    for w in range(n_words)
+                ],
+                axis=1,
+            )
+            out_words[valid.to_numpy()] = packed
+        return pd.Series(list(out_words))
 
     return sketch
 
 
 def _sign_sketch(emb, sketch_planes, method: str = "auto"):
     """Auto-switch between the interpreted expression form and the
-    one-matmul-per-batch Arrow UDF on the same planes x dim budget as
-    ``similarity._bucket_col`` — at the default 126 sketch planes and
-    dim >= 17 the batched form wins (126 x 64 = 8064 interpreted ops/row
-    is 4x over the budget)."""
-    from .similarity import _AUTO_EXPR_BUDGET
+    one-matmul-per-batch Arrow UDF on the SHARED planes x dim budget
+    (``similarity.resolve_plane_method`` — one policy, not two copies) —
+    at the default 126 sketch planes and dim >= 17 the batched form
+    wins (126 x 64 = 8064 interpreted ops/row is 4x over the budget)."""
+    from .similarity import resolve_plane_method
 
-    if method == "auto":
-        method = (
-            "expr"
-            if sketch_planes.shape[0] * sketch_planes.shape[1]
-            <= _AUTO_EXPR_BUDGET
-            else "pandas"
-        )
+    method = resolve_plane_method(sketch_planes, method)
     if method == "expr":
         planes_cols = [
             F.array(*[F.lit(float(x)) for x in row]) for row in sketch_planes
         ]
         return _sign_sketch_expr(emb, planes_cols)
-    if method == "pandas":
-        return sign_sketch_udf(sketch_planes)(emb)
-    raise ValueError(f"unknown sketch method: {method!r}")
+    return sign_sketch_udf(sketch_planes)(emb)
 
 
 def _est_cosine(sk_a, sk_b, n_bits: int):

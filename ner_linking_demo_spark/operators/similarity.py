@@ -97,8 +97,15 @@ def lsh_bucket_udf(planes: np.ndarray):
     def bucket(emb: pd.Series) -> pd.Series:
         if emb.empty:
             return pd.Series([], dtype="int64")
-        mat = np.stack(emb.to_numpy()).astype(np.float64)
-        return pd.Series(((mat @ pt) > 0) @ weights)
+        # NULL embeddings -> bucket 0, matching the expression form
+        # (NULL dot > 0 is NULL -> otherwise(0) on every plane); a raw
+        # np.stack would raise on ragged None input and kill the task
+        valid = emb.map(lambda v: v is not None)
+        out = np.zeros(len(emb), dtype=np.int64)
+        if valid.any():
+            mat = np.stack(emb[valid].to_numpy()).astype(np.float64)
+            out[valid.to_numpy()] = ((mat @ pt) > 0) @ weights
+        return pd.Series(out)
 
     return bucket
 
@@ -110,18 +117,27 @@ def lsh_bucket_udf(planes: np.ndarray):
 _AUTO_EXPR_BUDGET = 2048
 
 
-def _bucket_col(emb: F.Column, planes: np.ndarray, method: str) -> F.Column:
+def resolve_plane_method(planes: np.ndarray, method: str) -> str:
+    """One source of truth for the expr/pandas auto-switch, shared by
+    the LSH bucket and the incremental-dedup sign sketch: the
+    interpreted expression form costs planes x dim higher-order ops per
+    row, the Arrow form one matmul per batch."""
     if method == "auto":
-        method = (
+        return (
             "expr"
             if planes.shape[0] * planes.shape[1] <= _AUTO_EXPR_BUDGET
             else "pandas"
         )
+    if method not in ("expr", "pandas"):
+        raise ValueError(f"unknown plane method: {method!r}")
+    return method
+
+
+def _bucket_col(emb: F.Column, planes: np.ndarray, method: str) -> F.Column:
+    method = resolve_plane_method(planes, method)
     if method == "expr":
         return lsh_bucket_expr(emb, planes)
-    if method == "pandas":
-        return lsh_bucket_udf(planes)(emb)
-    raise ValueError(f"unknown bucket method: {method!r}")
+    return lsh_bucket_udf(planes)(emb)
 
 
 def lsh_index(

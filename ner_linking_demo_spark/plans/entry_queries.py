@@ -729,6 +729,8 @@ def incremental_neardup_replay(spark, sf_dir):
     guaranteed band collision; non-identical word-salad docs share too
     few shingles to reach est 0.8 with 16 components, or even a shared
     band bucket, so text equality (md5 join) IS the match set."""
+    import os
+    import shutil
     import tempfile
 
     from ..operators.incremental_dedup import (
@@ -752,7 +754,11 @@ def incremental_neardup_replay(spark, sf_dir):
             ).select((F.col("doc_id") + 200000).alias("doc_id"), "text")
         )
     )
-    root = tempfile.mkdtemp(prefix="nlds_incdd_entry_")
+    # ONE reused path, wiped per call: a fresh store is required for
+    # the replay semantics, and reusing the path keeps repeated driver/
+    # selfcheck/bench invocations from leaking parquet temp dirs
+    root = os.path.join(tempfile.gettempdir(), "nlds_incdd_entry")
+    shutil.rmtree(root, ignore_errors=True)
     store = SignatureStore(spark, root)
     incremental_neardup(b0, store, batch_id=0, est_threshold=0.8)
     incremental_neardup(b1, store, batch_id=1, est_threshold=0.8)

@@ -154,7 +154,8 @@ def test_incremental_degenerate_merge_guard(spark):
 
     with pytest.warns(RuntimeWarning, match="degenerated"):
         out = incremental_components(
-            assign, spark.createDataFrame(delta, ["src", "dst"])
+            assign, spark.createDataFrame(delta, ["src", "dst"]),
+            degenerate_floor=0,
         )
         got = {r["node"]: r["component"] for r in out.collect()}
     assert got == want
@@ -183,7 +184,8 @@ def test_incremental_guard_quiet_on_small_batches(spark):
     with W.catch_warnings():
         W.simplefilter("error", RuntimeWarning)
         out = incremental_components(
-            assign, spark.createDataFrame([("y0a", "y1a")], ["src", "dst"])
+            assign, spark.createDataFrame([("y0a", "y1a")], ["src", "dst"]),
+            degenerate_floor=0,
         )
         got = {r["node"]: r["component"] for r in out.collect()}
     assert got == oracle_components(base + [("y0a", "y1a")])

@@ -162,3 +162,45 @@ def test_bucketed_index_zero_corpus_shuffle(spark, vectors, tmp_path):
         )
     finally:
         spark.sql("DROP TABLE IF EXISTS ann_idx_test")
+
+
+def test_bucket_and_sketch_udfs_null_safe(spark):
+    """NULL embeddings must behave like the expression forms (bucket 0 /
+    all-zero sketch words), not crash np.stack inside the Arrow UDF —
+    callers that ran to completion on imperfect input before the
+    auto-switch must still complete after it."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from ner_linking_demo_spark.operators.incremental_dedup import (
+        _sign_sketch,
+    )
+    from ner_linking_demo_spark.operators.similarity import (
+        hyperplanes,
+        lsh_bucket_expr,
+        lsh_bucket_udf,
+    )
+
+    planes = hyperplanes(dim=8, n_planes=6, seed=2)
+    sketch_planes = np.random.default_rng(3).standard_normal((126, 8))
+    rows = [
+        (1, [0.5, -1.0, 2.0, 0.25, -0.75, 1.5, -2.0, 0.1]),
+        (2, None),
+        (3, [1.0] * 8),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    emb = F.col("embedding")
+    got = df.select(
+        "vec_id",
+        lsh_bucket_expr(emb, planes).alias("b_expr"),
+        lsh_bucket_udf(planes)(emb).alias("b_udf"),
+        _sign_sketch(emb, sketch_planes, method="expr").alias("s_expr"),
+        _sign_sketch(emb, sketch_planes, method="pandas").alias("s_udf"),
+    ).collect()
+    for r in got:
+        assert r["b_expr"] == r["b_udf"], r["vec_id"]
+        assert r["s_expr"] == r["s_udf"], r["vec_id"]
+    null_row = [r for r in got if r["vec_id"] == 2][0]
+    assert null_row["b_udf"] == 0
+    assert list(null_row["s_udf"]) == [0, 0]
