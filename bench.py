@@ -213,6 +213,22 @@ def main() -> None:
             )
         )
 
+        # greedy sequence packing over the full documents table (bounded
+        # open-bin first-fit; round-4 driver entry)
+        from ner_linking_demo_spark.operators.packing import pack_sequences
+
+        benches.append(
+            (
+                "pack_sequences",
+                lambda: _materialize(
+                    pack_sequences(
+                        corpus_docs, max_tokens=512,
+                        num_partitions=cpus * 2,
+                    )
+                ),
+            )
+        )
+
     # --- interleaved rounds, median per benchmark ------------------------
     samples: dict[str, list[float]] = {name: [] for name, _ in benches}
     for _ in range(rounds):

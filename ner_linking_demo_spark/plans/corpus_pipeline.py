@@ -145,3 +145,36 @@ def run_corpus_pipeline(
     if collect_stats:
         stats["kept"] = kept.count()
     return CorpusResult(kept=kept, stats=stats)
+
+
+def prepare_training_sequences(
+    spark: SparkSession,
+    docs: DataFrame,
+    max_tokens: int,
+    num_partitions: int | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    **pipeline_kwargs,
+) -> DataFrame:
+    """The full LLM-pretraining data path in one call: corpus
+    preprocessing (annotate -> filter -> exact + near dedup ->
+    representatives) composed with greedy sequence packing into
+    ``max_tokens`` training windows.
+
+    Packing REUSES the ``n_tokens`` column the annotate stage already
+    computed (``tokens_col`` pass-through), so the composition adds no
+    re-tokenization — its only extra cost over ``run_corpus_pipeline``
+    is the packing repartition + one iterator UDF. Returns the
+    (seq_id, doc_ids, n_docs, total_tokens, oversize) window table."""
+    from ..operators.packing import pack_sequences
+
+    res = run_corpus_pipeline(
+        spark, docs, id_col=id_col, text_col=text_col, **pipeline_kwargs
+    )
+    return pack_sequences(
+        res.kept,
+        max_tokens=max_tokens,
+        id_col=id_col,
+        tokens_col="n_tokens",
+        num_partitions=num_partitions,
+    )

@@ -94,3 +94,41 @@ def test_corpus_pipeline_resume(spark, docs, tmp_path):
         if s.get("resumed")
     }
     assert {"corpus_filtered", "corpus_exact", "corpus_kept"} <= resumed
+
+
+def test_prepare_training_sequences_composition(spark, docs):
+    """Corpus pipeline -> packing composition: every kept doc appears in
+    exactly one window, dropped docs (filtered or dedup losers) in none,
+    windows respect max_tokens, and the token counts reused from the
+    annotate stage equal a fresh recompute."""
+    from pyspark.sql import functions as F
+
+    from ner_linking_demo_spark.plans.corpus_pipeline import (
+        prepare_training_sequences,
+        run_corpus_pipeline,
+    )
+
+    kw = dict(min_tokens=5, near_dup=True, jaccard_threshold=0.5)
+    seqs = prepare_training_sequences(
+        spark, docs, max_tokens=64, num_partitions=2, **kw
+    ).collect()
+    kept = run_corpus_pipeline(spark, docs, **kw).kept
+
+    packed = sorted(d for r in seqs for d in r["doc_ids"])
+    assert packed == sorted(
+        r["doc_id"] for r in kept.select("doc_id").collect()
+    )
+    assert all(r["total_tokens"] <= 64 or r["oversize"] for r in seqs)
+    # reused n_tokens == recomputed whitespace counts
+    want = {
+        r["doc_id"]: r["n"]
+        for r in kept.select(
+            "doc_id",
+            F.size(F.split(F.trim("text"), r"\s+")).alias("n"),
+        ).collect()
+    }
+    stored = {
+        r["doc_id"]: r["n_tokens"]
+        for r in kept.select("doc_id", "n_tokens").collect()
+    }
+    assert stored == want

@@ -261,6 +261,52 @@ def main() -> int:
             "BroadcastHashJoin" in p,
         )
 
+    # sequence packing: exactly ONE exchange (the deterministic hash
+    # repartition) feeding ONE iterator UDF; token counts are computed
+    # in the scan projection, not in Python
+    from ner_linking_demo_spark.operators.packing import pack_sequences
+
+    p = plan_of(pack_sequences(docs, max_tokens=512, num_partitions=8))
+    failures += not check(
+        "pack_sequences: one exchange -> one mapInPandas, counts in scan",
+        nodes(p, "Exchange") == 1
+        and nodes(p, "MapInPandas") == 1
+        and "ArrowEvalPython" not in p,
+    )
+
+    # embedding near-dup sign sketch: the default 126-plane width must
+    # land on the one-matmul-per-batch Arrow form, with the history
+    # join still broadcast on the delta side
+    import numpy as np
+
+    from ner_linking_demo_spark.operators.incremental_dedup import (
+        incremental_embedding_neardup,
+    )
+    from ner_linking_demo_spark.operators.similarity import hyperplanes
+
+    with tempfile.TemporaryDirectory(prefix="nlds_audit_vstore_") as d:
+        vstore = SignatureStore(spark, d)
+        rng = np.random.default_rng(7)
+        vecs = spark.createDataFrame(
+            [
+                (i, [float(x) for x in rng.standard_normal(64)])
+                for i in range(30)
+            ],
+            "vec_id long, embedding array<float>",
+        )
+        planes = hyperplanes(dim=64, n_planes=8, seed=5)
+        incremental_embedding_neardup(vecs, vstore, 1, planes)
+        m = incremental_embedding_neardup(
+            vecs.filter("vec_id < 10"), vstore, 2, planes,
+            eager_isolation=False,
+        )
+        p = plan_of(m)
+        failures += not check(
+            "embedding near-dup: batched sketch (Arrow) + broadcast "
+            "delta vs sketch store",
+            "ArrowEvalPython" in p and "BroadcastHashJoin" in p,
+        )
+
     print(f"\n{failures} failures")
     spark.stop()
     return 1 if failures else 0
