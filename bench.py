@@ -213,6 +213,32 @@ def main() -> None:
             )
         )
 
+        # IVF ANN search (round-4): index built once in setup (the
+        # at-rest artifact), the benchmark measures the per-query-batch
+        # search path — 32 queries x nprobe=4 of 32 lists
+        from ner_linking_demo_spark.operators.ivf import (
+            ivf_index,
+            ivf_search,
+            train_centroids,
+        )
+
+        emb_tbl = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        ivf_cent = train_centroids(emb_tbl, k_lists=32, sample_limit=20_000)
+        ivf_idx = ivf_index(emb_tbl, ivf_cent).localCheckpoint(eager=True)
+        ivf_queries = emb_tbl.limit(32).select(
+            FS.col("vec_id").alias("q_id"), "embedding"
+        ).localCheckpoint(eager=True)
+        benches.append(
+            (
+                "ann_ivf_search",
+                lambda: _materialize(
+                    ivf_search(
+                        ivf_queries, ivf_idx, ivf_cent, k=10, nprobe=4
+                    )
+                ),
+            )
+        )
+
         # greedy sequence packing over the full documents table (bounded
         # open-bin first-fit; round-4 driver entry)
         from ner_linking_demo_spark.operators.packing import pack_sequences

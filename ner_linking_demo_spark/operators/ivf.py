@@ -1,0 +1,230 @@
+"""IVF (inverted-file) ANN: trained coarse quantizer -> list-assigned
+index -> nprobe search. The third similarity-search path next to brute
+force (the exactness baseline) and hyperplane LSH (data-INdependent
+buckets): IVF's lists adapt to the data distribution, so at an equal
+candidate budget it recalls better on clustered embeddings — the
+standard IVF-Flat design (as popularized by the FAISS library),
+re-expressed as DataFrame ops.
+
+Scale posture (mirrors ``similarity.ann_join``):
+- the coarse quantizer is ``k_lists x dim`` float centroids trained on a
+  DRIVER-SIZED sample — standard practice: quantizer quality needs on
+  the order of 30-256 vectors per list, independent of corpus size, so
+  training never touches the full 100 TB. The centroid matrix is tiny
+  (even 65k lists x 1k dims = 256 MB worst case; typical far less) and
+  ships to executors inside the Arrow UDF closure like the LSH planes;
+- list assignment is ONE argmax matmul per Arrow batch in the scan
+  projection (argmin ||x - c||^2 == argmax x.c - |c|^2/2, one GEMM);
+- the index rows are (vec_id, iv, list_id, inorm); write them through
+  :func:`write_bucketed_ivf_index` (a Spark bucketed table clustered on
+  ``list_id``) and searches join with ZERO corpus-side Exchange — the
+  same at-rest layout argument as the LSH bucketed index;
+- search explodes each query into its ``nprobe`` nearest lists,
+  equi-joins on ``list_id``, exact-cosine ranks per query (W1 window).
+  Query batches are dimension-sized: ``broadcast_queries=True`` keeps
+  the corpus from shuffling at all. Hot lists (dense regions) are join
+  skew; AQE skew-join splits them.
+
+Recall is tested against the brute-force baseline, and
+``nprobe == k_lists`` provably equals exhaustive search (every list is
+probed) — both in tests/test_ivf.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .similarity import _dot, _norm
+
+
+def train_centroids(
+    df: DataFrame,
+    k_lists: int,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_limit: int = 50_000,
+    n_iter: int = 20,
+    seed: int = 7,
+) -> np.ndarray:
+    """Train the coarse quantizer: deterministic sample (first
+    ``sample_limit`` rows by id — a TakeOrdered, not a full sort) ->
+    seeded Lloyd's iterations on the driver. Returns (k_lists, dim)
+    float64 centroids.
+
+    Driver-side by design: quantizer training is O(sample x k x iter)
+    on a bounded sample — the one step of IVF that does not need the
+    cluster, exactly like the reference FAISS workflow trains on a
+    subsample."""
+    rows = (
+        df.where(F.col(emb_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(emb_col).alias("v"))
+        .orderBy("id")
+        .limit(sample_limit)
+        .collect()
+    )
+    if len(rows) < k_lists:
+        raise ValueError(
+            f"sample has {len(rows)} vectors, fewer than k_lists="
+            f"{k_lists} — lower k_lists or raise sample_limit"
+        )
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    rng = np.random.default_rng(seed)
+    # k-means++ seeding (Arthur & Vassilvitskii '07): spreads the initial
+    # centroids across the data's clusters, so lists rarely start (or
+    # end) empty — uniform init routinely drops lists on clustered data
+    cent = np.empty((k_lists, x.shape[1]), dtype=np.float64)
+    cent[0] = x[rng.integers(len(x))]
+    d2 = ((x - cent[0]) ** 2).sum(axis=1)
+    for j in range(1, k_lists):
+        p = d2 / d2.sum() if d2.sum() > 0 else None
+        cent[j] = x[rng.choice(len(x), p=p)]
+        d2 = np.minimum(d2, ((x - cent[j]) ** 2).sum(axis=1))
+    for _ in range(n_iter):
+        # argmin ||x-c||^2 == argmax x.c - |c|^2/2  (one GEMM)
+        assign = np.argmax(
+            x @ cent.T - 0.5 * (cent * cent).sum(axis=1), axis=1
+        )
+        for j in range(k_lists):
+            members = x[assign == j]
+            if len(members):  # empty list keeps its old centroid
+                cent[j] = members.mean(axis=0)
+    return cent
+
+
+def _assign_udf(centroids: np.ndarray):
+    """Arrow-batched nearest-centroid assignment: one GEMM per batch."""
+    ct = centroids.astype(np.float64).T
+    half_sq = 0.5 * (centroids.astype(np.float64) ** 2).sum(axis=1)
+
+    @F.pandas_udf("int")
+    def assign(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype="int32")
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        return pd.Series(
+            np.argmax(mat @ ct - half_sq, axis=1).astype(np.int32)
+        )
+
+    return assign
+
+
+def _probe_udf(centroids: np.ndarray, nprobe: int):
+    """Per query: ids of the ``nprobe`` nearest lists (ordered)."""
+    ct = centroids.astype(np.float64).T
+    half_sq = 0.5 * (centroids.astype(np.float64) ** 2).sum(axis=1)
+    n = min(nprobe, centroids.shape[0])
+
+    @F.pandas_udf("array<int>")
+    def probes(emb: pd.Series) -> pd.Series:
+        if emb.empty:
+            return pd.Series([], dtype="object")
+        mat = np.stack(emb.to_numpy()).astype(np.float64)
+        scores = mat @ ct - half_sq
+        top = np.argsort(-scores, axis=1)[:, :n].astype(np.int32)
+        return pd.Series(list(top))
+
+    return probes
+
+
+def ivf_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus -> (vec_id, iv, list_id, inorm): the IVF at-rest shape.
+    Assignment + norm are computed ONCE at index-build time (the
+    ``prepare_index`` argument applies verbatim). NULL embeddings are
+    excluded here, at the boundary — they cannot be searched."""
+    return (
+        df.where(F.col(emb_col).isNotNull())
+        .select(
+            F.col(id_col).alias("vec_id"),
+            F.col(emb_col).cast("array<double>").alias("iv"),
+        )
+        .withColumn("list_id", _assign_udf(centroids)(F.col("iv")))
+        .withColumn("inorm", _norm(F.col("iv")))
+    )
+
+
+def write_bucketed_ivf_index(
+    df: DataFrame,
+    centroids: np.ndarray,
+    table: str,
+    n_buckets: int = 64,
+    path: str | None = None,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """Materialize the IVF index as a bucketed table clustered on
+    ``list_id``: a scan reports its hash clustering to Catalyst, so the
+    search equi-join needs NO corpus-side Exchange (same argument as
+    ``similarity.write_bucketed_index``)."""
+    w = (
+        ivf_index(df, centroids, emb_col=emb_col, id_col=id_col)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "list_id")
+        .sortBy("list_id")
+    )
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def ivf_search(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    query_id_col: str = "q_id",
+    broadcast_queries: bool = True,
+    index_prepared: bool = True,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Batch IVF search: queries x index -> top-k per query over the
+    union of each query's ``nprobe`` nearest lists.
+
+    ``index_prepared=True`` expects the :func:`ivf_index` shape (e.g. a
+    bucketed table); pass False to assign a raw (id, embedding) corpus
+    on the fly. Returns (q_id, vec_id, cosine, rank), rank 1..k,
+    deterministic order (cosine desc, vec_id asc).
+
+    ``nprobe == k_lists`` probes every list: exactly brute force
+    (tested), which makes nprobe the precision/cost dial — recall rises
+    monotonically toward exhaustive as nprobe grows."""
+    from pyspark.sql.window import Window
+
+    qside = (
+        queries.select(
+            F.col(query_id_col).alias("q_id"),
+            F.col(emb_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn(
+            "list_id",
+            F.explode(_probe_udf(centroids, nprobe)(F.col("qv"))),
+        )
+        .withColumn("qnorm", _norm(F.col("qv")))
+    )
+    if broadcast_queries:
+        qside = F.broadcast(qside)
+    if index_prepared:
+        iside = index.select("vec_id", "iv", "list_id", "inorm")
+    else:
+        iside = ivf_index(index, centroids, emb_col=emb_col, id_col=id_col)
+    scored = qside.join(iside, "list_id").select(
+        "q_id",
+        "vec_id",
+        (
+            _dot(F.col("qv"), F.col("iv"))
+            / (F.col("qnorm") * F.col("inorm"))
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
