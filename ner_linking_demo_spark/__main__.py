@@ -61,10 +61,16 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
                     help="comma-separated tables for --maintain "
                     "(default: every table in the checkpoint)")
     ap.add_argument("--batch-layout", default=None,
-                    help="with --maintain compact: compact a batch_id-"
-                    "partitioned output layout (e.g. <out>/triples or "
-                    "<out>/kept) instead of a checkpoint catalog; "
-                    "readers must then use BatchLayout.read()")
+                    help="with --maintain compact/expire: operate on a "
+                    "batch_id-partitioned output layout (e.g. "
+                    "<out>/triples, <out>/kept, or a signature store's "
+                    "data dir) instead of a checkpoint catalog; after "
+                    "compact, readers must use BatchLayout.read()")
+    ap.add_argument("--expire-upto", type=int, default=None,
+                    help="with --maintain expire --batch-layout: drop "
+                    "every batch with id <= this horizon (expire BEFORE "
+                    "compact — a consolidated partition only expires "
+                    "whole)")
     ap.add_argument("--keep-last", type=int, default=2)
     ap.add_argument("--target-file-mb", type=int, default=128)
     args = ap.parse_args(argv)
@@ -182,13 +188,23 @@ def _run_maintenance(args, stop_session: bool) -> None:
     if args.batch_layout:
         from ner_linking_demo_spark.plans.fs import BatchLayout
 
-        if args.maintain != "compact":
-            raise SystemExit("--batch-layout supports --maintain compact")
         lay = BatchLayout(spark, args.batch_layout)
-        upto = lay.compact(
-            target_file_bytes=args.target_file_mb * 1024 * 1024
-        )
-        print(f"compact {args.batch_layout}: upto batch {upto}")
+        if args.maintain == "expire":
+            if args.expire_upto is None:
+                raise SystemExit(
+                    "--batch-layout with --maintain expire requires "
+                    "--expire-upto <batch_id> (the retention horizon)"
+                )
+            removed = lay.expire_upto(args.expire_upto)
+            print(
+                f"expire {args.batch_layout}: removed "
+                f"{len(removed)} partition(s) <= {args.expire_upto}"
+            )
+        else:
+            upto = lay.compact(
+                target_file_bytes=args.target_file_mb * 1024 * 1024
+            )
+            print(f"compact {args.batch_layout}: upto batch {upto}")
         if stop_session:
             spark.stop()
         return

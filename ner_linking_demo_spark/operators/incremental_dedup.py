@@ -112,6 +112,13 @@ class SignatureStore:
     def compacted_upto(self) -> int | None:
         return self._layout.compacted_upto()
 
+    def expire_upto(self, upto: int) -> list[str]:
+        """Retention horizon: drop signatures of batches <= ``upto`` —
+        their docs simply stop matching as history (the near-dup
+        equivalent of a data-retention window). Delegates to the shared
+        layout, including its expire-then-compact ordering rule."""
+        return self._layout.expire_upto(upto)
+
     def read(self) -> DataFrame | None:
         """All published signatures (one parquet scan; the batch_id
         partition column rides along for replay exclusion). Compaction

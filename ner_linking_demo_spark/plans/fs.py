@@ -297,6 +297,40 @@ class BatchLayout:
             ):
                 self.fs.delete(self._dir(p))
 
+    def expire_upto(self, upto: int) -> list[str]:
+        """RETENTION: drop every batch with numeric id <= ``upto`` — the
+        age horizon of a store whose batch ids are monotone in time
+        (streaming batch ids are). Returns the partition names removed.
+
+        Interplay with compaction: a consolidated ``__c<k>`` partition
+        drops its members' names, so it can only be expired WHOLE —
+        allowed when k <= upto (everything it covers is older than the
+        horizon). A ``__c<k>`` with k > upto mixes expired and live
+        batches and cannot be split without provenance; the call then
+        REFUSES (ValueError) rather than silently over- or
+        under-deleting — the production recipe is expire-then-compact,
+        in that order, so the fold never pins batches past their
+        retention. Idempotent: re-running with the same horizon removes
+        nothing."""
+        upto = int(upto)
+        c_upto = self.compacted_upto()
+        if c_upto is not None and c_upto > upto:
+            raise ValueError(
+                f"batches <= {upto} were folded into batch_id=__c{c_upto} "
+                "together with newer ones; a consolidated partition can "
+                "only expire whole. Run expire_upto BEFORE compact (the "
+                "expire-then-compact order), or raise the horizon to "
+                f">= {c_upto}."
+            )
+        removed = []
+        for p in self._partitions():
+            if (p.isdigit() and int(p) <= upto) or (
+                p.startswith("__c") and int(p[len("__c"):]) <= upto
+            ):
+                self.fs.delete(self._dir(p))
+                removed.append(p)
+        return removed
+
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         from pyspark.sql import functions as F
 

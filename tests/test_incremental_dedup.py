@@ -371,3 +371,56 @@ def test_pin_mismatch_then_resignature_migration(spark, tmp_path):
             spark, _docs(spark, [(1, BASE)]), old,
             str(tmp_path / "new2"), n_hashes=64, bands=8, shingle_size=3,
         )
+
+
+def test_store_retention_expiry(spark, store, tmp_path):
+    """expire_upto drops old batches' signatures (their docs stop
+    matching as history — the retention window), refuses to split a
+    consolidated partition that mixes live batches, allows expiring a
+    fully-covered one, and the CLI reaches layout expiry."""
+    import os
+
+    from ner_linking_demo_spark import __main__ as CLI
+
+    for b, text in enumerate([BASE, BASE + " dos", BASE + " tres"]):
+        incremental_neardup(
+            _docs(spark, [(b + 1, text)]), store, batch_id=b
+        )
+    # expire batch 0: doc 1's signatures vanish; doc 1 no longer matches
+    assert store.expire_upto(0) == ["0"]
+    assert store.expire_upto(0) == []  # idempotent
+    m = incremental_neardup(
+        _docs(spark, [(20, BASE)]), store, batch_id=3
+    )
+    assert not any(r["dup_of"] == 1 for r in m.collect())
+    assert any(r["dup_of"] == 2 for r in m.collect())  # batch 1 alive
+
+    # compaction that folds live batches pins them: horizon below the
+    # fold must refuse (expire-then-compact is the documented order)...
+    assert store.compact(target_file_bytes=1 << 30) == 2
+    with pytest.raises(ValueError, match="whole"):
+        store.expire_upto(1)
+    # ...but a fully-covered fold expires whole
+    removed = store.expire_upto(2)
+    assert removed == ["__c2"]
+    m2 = incremental_neardup(
+        _docs(spark, [(21, BASE + " dos")]), store, batch_id=4
+    )
+    assert all(r["scope"] != "history" or r["dup_of"] == 20
+               for r in m2.collect())
+
+    # CLI surface
+    lay_dir = str(tmp_path / "clilay")
+    from ner_linking_demo_spark.plans.fs import BatchLayout
+
+    lay = BatchLayout(spark, lay_dir)
+    for b in range(3):
+        lay.publish(spark.range(b * 5, b * 5 + 5).toDF("id"), b)
+    CLI.main(
+        ["--maintain", "expire", "--batch-layout", lay_dir,
+         "--expire-upto", "1"],
+        stop_session=False,
+    )
+    assert sorted(
+        d for d in os.listdir(lay_dir) if d.startswith("batch_id=")
+    ) == ["batch_id=2"]
