@@ -213,6 +213,44 @@ def main() -> None:
             )
         )
 
+        # incremental near-dup per-batch latency (round-4): the store is
+        # built once in setup (history = the full documents table); the
+        # benchmark measures ONE delta batch (500 docs = exact copies of
+        # history docs) against it — the O(delta) production path.
+        # A FIXED batch_id keeps per-round work identical: the first
+        # round publishes, later rounds are the replay recompute (same
+        # match computation via name-based self-exclusion, no append).
+        import shutil as _sh
+        import tempfile as _tf
+
+        from ner_linking_demo_spark.operators.incremental_dedup import (
+            SignatureStore,
+            incremental_neardup,
+        )
+
+        _inc_root = _tf.mkdtemp(prefix="nlds_bench_incdd_")
+        _inc_store = SignatureStore(spark, _inc_root)
+        incremental_neardup(
+            corpus_docs.select("doc_id", "text"), _inc_store, batch_id=0,
+        )
+        _inc_delta = (
+            corpus_docs.filter("doc_id < 500")
+            .select(
+                (FS.col("doc_id") + 10_000_000).alias("doc_id"), "text"
+            )
+            .localCheckpoint(eager=True)
+        )
+
+        def run_inc_batch():
+            _materialize(
+                incremental_neardup(_inc_delta, _inc_store, batch_id=1)
+            )
+
+        benches.append(("incremental_neardup_batch", run_inc_batch))
+        import atexit
+
+        atexit.register(_sh.rmtree, _inc_root, ignore_errors=True)
+
         # IVF ANN search (round-4): index built once in setup (the
         # at-rest artifact), the benchmark measures the per-query-batch
         # search path — 32 queries x nprobe=4 of 32 lists
