@@ -141,7 +141,7 @@ def main() -> None:
             "w8_sessionize",
             "dedup_exact",
             "dedup_minhash_lsh",
-            "ann_bruteforce_topk",
+            "ann_ivf_topk",
             "ann_join_topk",
             "kg_detect_mentions_iob",
             "text_analysis",
@@ -154,6 +154,17 @@ def main() -> None:
                     lambda q=qname: _materialize(all_q[q](spark, sf_dir)),
                 )
             )
+
+        # brute-force ANN baseline (rotated out of the driver window in
+        # round 4 but still the exactness/throughput reference point)
+        benches.append(
+            (
+                "ann_bruteforce_topk",
+                lambda: _materialize(
+                    EQ.ann_bruteforce_topk(spark, sf_dir)
+                ),
+            )
+        )
 
         # both SimHash forms, measured side by side (round-2 verdict:
         # decide the benched default from a noise-controlled comparison;

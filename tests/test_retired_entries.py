@@ -27,6 +27,7 @@ def duck():
 
 def test_retired_registry_holds_the_rotated_entries():
     assert sorted(q.name for q in RETIRED) == [
+        "ann_bruteforce_topk",
         "dedup_minhash_signature",
         "kg_detect_mentions",
         "kg_detect_mentions_crf",
