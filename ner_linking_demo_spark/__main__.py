@@ -78,6 +78,14 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     if args.maintain:
         if not args.checkpoint and not args.batch_layout:
             ap.error("--maintain requires --checkpoint or --batch-layout")
+        if args.expire_upto is not None and not args.batch_layout:
+            # checkpoint expiry is keep-last-N snapshot retention, a
+            # different semantic — silently ignoring the horizon flag
+            # would delete snapshots the user did not ask to delete
+            ap.error(
+                "--expire-upto applies to --batch-layout expiry only; "
+                "checkpoint snapshot retention uses --keep-last"
+            )
         _run_maintenance(args, stop_session)
         return
     for req in ("pages", "gazetteer", "out"):

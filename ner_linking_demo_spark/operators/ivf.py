@@ -83,10 +83,7 @@ def train_centroids(
         cent[j] = x[rng.choice(len(x), p=p)]
         d2 = np.minimum(d2, ((x - cent[j]) ** 2).sum(axis=1))
     for _ in range(n_iter):
-        # argmin ||x-c||^2 == argmax x.c - |c|^2/2  (one GEMM)
-        assign = np.argmax(
-            x @ cent.T - 0.5 * (cent * cent).sum(axis=1), axis=1
-        )
+        assign = np.argmax(_centroid_scores(x, cent), axis=1)
         for j in range(k_lists):
             members = x[assign == j]
             if len(members):  # empty list keeps its old centroid
@@ -94,37 +91,59 @@ def train_centroids(
     return cent
 
 
+def _centroid_scores(mat: np.ndarray, centroids: np.ndarray) -> np.ndarray:
+    """(n, dim) x (k, dim) -> (n, k) scores whose row-argmax is the
+    nearest centroid: argmin ||x-c||^2 == argmax x.c - |c|^2/2 — ONE
+    place for the distance formulation, shared by training, index
+    assignment and query probing (a desynchronized copy would silently
+    route queries to lists the index never fills)."""
+    c = centroids.astype(np.float64)
+    return mat @ c.T - 0.5 * (c * c).sum(axis=1)
+
+
 def _assign_udf(centroids: np.ndarray):
-    """Arrow-batched nearest-centroid assignment: one GEMM per batch."""
-    ct = centroids.astype(np.float64).T
-    half_sq = 0.5 * (centroids.astype(np.float64) ** 2).sum(axis=1)
+    """Arrow-batched nearest-centroid assignment: one GEMM per batch.
+    NULL embeddings -> list -1 (a list no query ever probes) — defense
+    in depth behind ivf_index's isNotNull boundary filter; a raw
+    np.stack would raise on ragged None input and kill the task."""
 
     @F.pandas_udf("int")
     def assign(emb: pd.Series) -> pd.Series:
         if emb.empty:
             return pd.Series([], dtype="int32")
-        mat = np.stack(emb.to_numpy()).astype(np.float64)
-        return pd.Series(
-            np.argmax(mat @ ct - half_sq, axis=1).astype(np.int32)
-        )
+        valid = emb.map(lambda v: v is not None)
+        out = np.full(len(emb), -1, dtype=np.int32)
+        if valid.any():
+            mat = np.stack(emb[valid].to_numpy()).astype(np.float64)
+            out[valid.to_numpy()] = np.argmax(
+                _centroid_scores(mat, centroids), axis=1
+            ).astype(np.int32)
+        return pd.Series(out)
 
     return assign
 
 
 def _probe_udf(centroids: np.ndarray, nprobe: int):
-    """Per query: ids of the ``nprobe`` nearest lists (ordered)."""
-    ct = centroids.astype(np.float64).T
-    half_sq = 0.5 * (centroids.astype(np.float64) ** 2).sum(axis=1)
+    """Per query: ids of the ``nprobe`` nearest lists (ordered). NULL
+    query embeddings get an EMPTY probe list — the explode drops the
+    row, so an unsearchable query yields no results instead of killing
+    the job (the LSH search path survives the same input)."""
     n = min(nprobe, centroids.shape[0])
 
     @F.pandas_udf("array<int>")
     def probes(emb: pd.Series) -> pd.Series:
         if emb.empty:
             return pd.Series([], dtype="object")
-        mat = np.stack(emb.to_numpy()).astype(np.float64)
-        scores = mat @ ct - half_sq
-        top = np.argsort(-scores, axis=1)[:, :n].astype(np.int32)
-        return pd.Series(list(top))
+        valid = emb.map(lambda v: v is not None)
+        out = [np.array([], dtype=np.int32)] * len(emb)
+        if valid.any():
+            mat = np.stack(emb[valid].to_numpy()).astype(np.float64)
+            top = np.argsort(
+                -_centroid_scores(mat, centroids), axis=1
+            )[:, :n].astype(np.int32)
+            for pos, row in zip(np.flatnonzero(valid.to_numpy()), top):
+                out[pos] = row
+        return pd.Series(out)
 
     return probes
 
@@ -204,11 +223,13 @@ def ivf_search(
             F.col(query_id_col).alias("q_id"),
             F.col(emb_col).cast("array<double>").alias("qv"),
         )
+        # qnorm BEFORE the probe explode: computed once per query, not
+        # once per probed list
+        .withColumn("qnorm", _norm(F.col("qv")))
         .withColumn(
             "list_id",
             F.explode(_probe_udf(centroids, nprobe)(F.col("qv"))),
         )
-        .withColumn("qnorm", _norm(F.col("qv")))
     )
     if broadcast_queries:
         qside = F.broadcast(qside)

@@ -242,12 +242,17 @@ class BatchLayout:
     def has_batch(self, batch_id) -> bool:
         if self.fs.exists(self._dir(batch_id)):
             return True
+        if not str(batch_id).isdigit():
+            return False
+        b = int(batch_id)
         upto = self.compacted_upto()
-        return (
-            upto is not None
-            and str(batch_id).isdigit()
-            and int(batch_id) <= upto
-        )
+        if upto is not None and b <= upto:
+            return True
+        # an EXPIRED batch counts as published: its directory is gone by
+        # retention, not absence — a replay must be a publish no-op, not
+        # a resurrection of data below the horizon
+        exp = self.expired_upto()
+        return exp is not None and b <= exp
 
     def publish(self, df, batch_id, precheck: bool = True) -> bool:
         # precheck=False when the caller already consulted has_batch —
@@ -297,10 +302,27 @@ class BatchLayout:
             ):
                 self.fs.delete(self._dir(p))
 
+    def expired_upto(self) -> int | None:
+        """The layout's recorded retention horizon (None if never
+        expired)."""
+        p = f"{self.root}/_EXPIRED_UPTO"
+        if not self.fs.exists(p):
+            return None
+        return int(self.fs.read_text(p).strip())
+
     def expire_upto(self, upto: int) -> list[str]:
         """RETENTION: drop every batch with numeric id <= ``upto`` — the
         age horizon of a store whose batch ids are monotone in time
         (streaming batch ids are). Returns the partition names removed.
+
+        Exactly-once interplay (the published directory IS the commit
+        record): the NEWEST batch is never expired — it is the only one
+        Structured Streaming can replay, and deleting its commit record
+        would make a restart silently republish data the horizon said to
+        delete (same rule as ``compact``). The horizon is also RECORDED
+        (``_EXPIRED_UPTO``), and ``has_batch`` treats expired ids as
+        published, so a replay of an expired batch is a publish NO-OP
+        instead of a resurrection.
 
         Interplay with compaction: a consolidated ``__c<k>`` partition
         drops its members' names, so it can only be expired WHOLE —
@@ -322,6 +344,18 @@ class BatchLayout:
                 "expire-then-compact order), or raise the horizon to "
                 f">= {c_upto}."
             )
+        numeric = [int(p) for p in self._partitions() if p.isdigit()]
+        if numeric and upto >= max(numeric):
+            raise ValueError(
+                f"horizon {upto} would expire the newest batch "
+                f"({max(numeric)}), the only one a streaming restart can "
+                "replay — its published directory is the exactly-once "
+                "commit record. Retention horizons must stay below the "
+                "newest batch."
+            )
+        prev = self.expired_upto()
+        if prev is None or upto > prev:
+            self.fs.write_text(f"{self.root}/_EXPIRED_UPTO", str(upto))
         removed = []
         for p in self._partitions():
             if (p.isdigit() and int(p) <= upto) or (

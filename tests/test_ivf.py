@@ -182,3 +182,17 @@ def test_bucketed_ivf_index_zero_corpus_shuffle(spark, fixture, tmp_path):
             == ref.sort_values(key)[["q_id", "vec_id", "rank"]].values.tolist()
     finally:
         spark.sql("DROP TABLE IF EXISTS ivf_idx_test")
+
+
+def test_null_query_embedding_survives_search(spark, fixture):
+    """A NULL query embedding yields no results for that query (empty
+    probe list -> explode drops it) instead of killing the job; other
+    queries in the same batch are unaffected."""
+    _, rows, cent, index = fixture
+    qs = spark.createDataFrame(
+        [(0, rows[0][1]), (1, None)],
+        "q_id long, embedding array<float>",
+    )
+    got = ivf_search(qs, index, cent, k=5, nprobe=2).collect()
+    assert {r["q_id"] for r in got} == {0}
+    assert len([r for r in got if r["q_id"] == 0]) == 5

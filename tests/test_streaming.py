@@ -381,3 +381,30 @@ def test_batch_layout_stale_compaction_partition_excluded(spark, tmp_path):
     lay.compact()
     assert not os.path.exists(stale)
     assert {r["id"] for r in lay.read().select("id").collect()} == before
+
+
+def test_expire_protects_newest_batch_and_replays_noop(spark, tmp_path):
+    """Retention must not break exactly-once: the newest batch (the only
+    replayable one) cannot expire, and a replay of an EXPIRED batch is a
+    publish no-op (the recorded horizon stands in for the deleted commit
+    record) instead of resurrecting data below the horizon."""
+    import pytest
+
+    from ner_linking_demo_spark.plans.fs import BatchLayout
+
+    lay = BatchLayout(spark, str(tmp_path / "lay"))
+    for b in range(3):
+        lay.publish(spark.range(b * 5, b * 5 + 5).toDF("id"), b)
+
+    with pytest.raises(ValueError, match="newest"):
+        lay.expire_upto(2)
+    assert lay.expire_upto(1) == ["0", "1"]
+    assert lay.expired_upto() == 1
+
+    # replay of expired batches: has_batch says published, publish no-ops
+    for b in (0, 1):
+        assert lay.has_batch(b)
+        assert lay.publish(spark.range(1).toDF("id"), b) is False
+    assert {r["id"] for r in lay.read().select("id").collect()} == set(
+        range(10, 15)
+    )
