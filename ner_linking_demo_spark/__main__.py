@@ -50,13 +50,29 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     )
     ap.add_argument(
         "--maintain",
-        choices=["expire", "compact"],
+        choices=["expire", "compact", "resignature"],
         default=None,
-        help="checkpoint housekeeping instead of a pipeline run: "
+        help="housekeeping instead of a pipeline run: "
         "expire = drop all but --keep-last snapshots per table + staging "
-        "GC; compact = rewrite each table's latest snapshot at "
-        "--target-file-mb (same input signature, resume unaffected)",
+        "GC (or, with --batch-layout + --expire-upto, drop batches at or "
+        "below a retention horizon); compact = rewrite each table's "
+        "latest snapshot at --target-file-mb (same input signature, "
+        "resume unaffected) or fold a batch layout; resignature = "
+        "migrate a signature store to new hashing params (--store, "
+        "--docs, --new-root, --n-hashes/--bands/--shingle-size)",
     )
+    ap.add_argument("--store", default=None,
+                    help="with --maintain resignature: the OLD signature "
+                    "store root")
+    ap.add_argument("--docs", default=None,
+                    help="with --maintain resignature: parquet with the "
+                    "original (doc_id, text) for every stored id")
+    ap.add_argument("--new-root", default=None,
+                    help="with --maintain resignature: root of the new "
+                    "store")
+    ap.add_argument("--n-hashes", type=int, default=64)
+    ap.add_argument("--bands", type=int, default=8)
+    ap.add_argument("--shingle-size", type=int, default=3)
     ap.add_argument("--tables", default=None,
                     help="comma-separated tables for --maintain "
                     "(default: every table in the checkpoint)")
@@ -76,7 +92,14 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     args = ap.parse_args(argv)
 
     if args.maintain:
-        if not args.checkpoint and not args.batch_layout:
+        if args.maintain == "resignature":
+            for req in ("store", "docs", "new_root"):
+                if getattr(args, req) is None:
+                    ap.error(
+                        "--maintain resignature requires --store, "
+                        "--docs and --new-root"
+                    )
+        elif not args.checkpoint and not args.batch_layout:
             ap.error("--maintain requires --checkpoint or --batch-layout")
         if args.expire_upto is not None and not args.batch_layout:
             # checkpoint expiry is keep-last-N snapshot retention, a
@@ -193,6 +216,26 @@ def _run_maintenance(args, stop_session: bool) -> None:
     from ner_linking_demo_spark.session import get_spark
 
     spark = get_spark(app_name="kg-maintain")
+    if args.maintain == "resignature":
+        from ner_linking_demo_spark.operators.incremental_dedup import (
+            SignatureStore,
+            resignature_store,
+        )
+
+        old = SignatureStore(spark, args.store)
+        docs = spark.read.parquet(args.docs)
+        new = resignature_store(
+            spark, docs, old, args.new_root,
+            n_hashes=args.n_hashes, bands=args.bands,
+            shingle_size=args.shingle_size,
+        )
+        print(
+            f"resignature {args.store} -> {args.new_root}: "
+            f"params {new.params()}"
+        )
+        if stop_session:
+            spark.stop()
+        return
     if args.batch_layout:
         from ner_linking_demo_spark.plans.fs import BatchLayout
 

@@ -424,3 +424,33 @@ def test_store_retention_expiry(spark, store, tmp_path):
     assert sorted(
         d for d in os.listdir(lay_dir) if d.startswith("batch_id=")
     ) == ["batch_id=2"]
+
+
+def test_cli_resignature_migration(spark, tmp_path):
+    """The store-migration job is reachable from the CLI maintenance
+    surface: old store -> new params, new store finds the same dup."""
+    from ner_linking_demo_spark import __main__ as CLI
+
+    old = SignatureStore(spark, str(tmp_path / "old"))
+    docs_rows = [(1, BASE), (2, BASE + " extra final")]
+    incremental_neardup(_docs(spark, docs_rows), old, batch_id=0)
+    docs_path = str(tmp_path / "docs")
+    _docs(spark, docs_rows).write.parquet(docs_path)
+
+    CLI.main(
+        ["--maintain", "resignature",
+         "--store", str(tmp_path / "old"),
+         "--docs", docs_path,
+         "--new-root", str(tmp_path / "new"),
+         "--n-hashes", "32", "--bands", "8", "--shingle-size", "3"],
+        stop_session=False,
+    )
+    new = SignatureStore(spark, str(tmp_path / "new"))
+    assert new.params() == {
+        "n_hashes": 32, "bands": 8, "shingle_size": 3
+    }
+    m = incremental_neardup(
+        _docs(spark, [(9, BASE)]), new, batch_id=1,
+        n_hashes=32, bands=8,
+    )
+    assert {(r["doc_id"], r["dup_of"]) for r in m.collect()} >= {(9, 1)}
