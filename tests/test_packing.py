@@ -141,3 +141,47 @@ def test_pack_streaming_emission_spark(spark):
     key = lambda r: r["seq_id"]
     assert [(r["seq_id"], tuple(r["doc_ids"])) for r in sorted(a, key=key)] \
         == [(r["seq_id"], tuple(r["doc_ids"])) for r in sorted(b, key=key)]
+
+
+def test_packer_hypothesis_invariants():
+    """Property test over random item streams: (a) unbounded packer ==
+    pure first-fit exactly; (b) bounded packer preserves coverage,
+    capacity, unique creation ordinals and the open-bin cap, for any
+    input including 0-token and oversize docs."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from ner_linking_demo_spark.operators.packing import GreedyPacker
+
+    @settings(max_examples=60, deadline=None)
+    @given(
+        st.lists(st.integers(min_value=0, max_value=180), max_size=120),
+        st.integers(min_value=1, max_value=8),
+    )
+    def check(tokens, cap):
+        items = list(enumerate(tokens))
+        # (a) exact first-fit parity (close_below=0 keeps full bins
+        # open, matching the oracle even for 0-token docs)
+        p = GreedyPacker(100, max_open_bins=10**9, close_below=0)
+        rows = []
+        for i, n in items:
+            rows.extend(p.add(i, n))
+        rows.extend(p.flush())
+        rows.sort(key=lambda r: r[0])
+        assert [(tuple(r[1]), r[3]) for r in rows] == _oracle_firstfit(
+            items, 100
+        )
+        # (b) bounded-cap invariants
+        p2 = GreedyPacker(100, max_open_bins=cap, close_below=1)
+        rows2 = []
+        for i, n in items:
+            rows2.extend(p2.add(i, n))
+        rows2.extend(p2.flush())
+        assert p2.max_open_seen <= cap
+        assert sorted(d for r in rows2 for d in r[1]) == sorted(
+            i for i, _ in items
+        )
+        assert all(r[3] <= 100 or r[4] for r in rows2)
+        assert len({r[0] for r in rows2}) == len(rows2)
+
+    check()
