@@ -70,9 +70,16 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     ap.add_argument("--new-root", default=None,
                     help="with --maintain resignature: root of the new "
                     "store")
-    ap.add_argument("--n-hashes", type=int, default=64)
-    ap.add_argument("--bands", type=int, default=8)
-    ap.add_argument("--shingle-size", type=int, default=3)
+    ap.add_argument("--n-hashes", type=int, default=None,
+                    help="with --maintain resignature: REQUIRED new "
+                    "signature width (components per signature; bands "
+                    "must divide it)")
+    ap.add_argument("--bands", type=int, default=None,
+                    help="with --maintain resignature: REQUIRED new LSH "
+                    "band count")
+    ap.add_argument("--shingle-size", type=int, default=3,
+                    help="with --maintain resignature: token shingle "
+                    "width (default 3, the engine-wide default)")
     ap.add_argument("--tables", default=None,
                     help="comma-separated tables for --maintain "
                     "(default: every table in the checkpoint)")
@@ -93,12 +100,21 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
 
     if args.maintain:
         if args.maintain == "resignature":
-            for req in ("store", "docs", "new_root"):
+            # explicit params are the POINT of a migration: no defaults
+            # that could silently pin a store to a layout nothing else
+            # uses (engine defaults are n_hashes=16, bands=4)
+            for req in ("store", "docs", "new_root", "n_hashes", "bands"):
                 if getattr(args, req) is None:
                     ap.error(
                         "--maintain resignature requires --store, "
-                        "--docs and --new-root"
+                        "--docs, --new-root, --n-hashes and --bands"
                     )
+            if args.checkpoint or args.batch_layout or args.tables:
+                ap.error(
+                    "--maintain resignature does not combine with "
+                    "--checkpoint/--batch-layout/--tables — run those "
+                    "maintenance jobs separately"
+                )
         elif not args.checkpoint and not args.batch_layout:
             ap.error("--maintain requires --checkpoint or --batch-layout")
         if args.expire_upto is not None and not args.batch_layout:
@@ -212,10 +228,22 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
 
 
 def _run_maintenance(args, stop_session: bool) -> None:
-    from ner_linking_demo_spark.plans.catalog import CheckpointCatalog
     from ner_linking_demo_spark.session import get_spark
 
     spark = get_spark(app_name="kg-maintain")
+    # one try/finally so a failed maintenance job (e.g. resignature's
+    # missing-text ValueError) still stops the session cleanly instead
+    # of leaving the kg-maintain JVM to die with the traceback
+    try:
+        _dispatch_maintenance(spark, args)
+    finally:
+        if stop_session:
+            spark.stop()
+
+
+def _dispatch_maintenance(spark, args) -> None:
+    from ner_linking_demo_spark.plans.catalog import CheckpointCatalog
+
     if args.maintain == "resignature":
         from ner_linking_demo_spark.operators.incremental_dedup import (
             SignatureStore,
@@ -233,8 +261,6 @@ def _run_maintenance(args, stop_session: bool) -> None:
             f"resignature {args.store} -> {args.new_root}: "
             f"params {new.params()}"
         )
-        if stop_session:
-            spark.stop()
         return
     if args.batch_layout:
         from ner_linking_demo_spark.plans.fs import BatchLayout
@@ -256,8 +282,6 @@ def _run_maintenance(args, stop_session: bool) -> None:
                 target_file_bytes=args.target_file_mb * 1024 * 1024
             )
             print(f"compact {args.batch_layout}: upto batch {upto}")
-        if stop_session:
-            spark.stop()
         return
     cat = CheckpointCatalog(spark, args.checkpoint)
     if args.tables:
@@ -276,8 +300,6 @@ def _run_maintenance(args, stop_session: bool) -> None:
                 table, target_file_bytes=args.target_file_mb * 1024 * 1024
             )
             print(f"compact {table}: -> {cat._read_pointer(table)['snapshot']}")
-    if stop_session:
-        spark.stop()
 
 
 if __name__ == "__main__":

@@ -143,12 +143,27 @@ def minhash_signatures_df(
     )
 
 
+def validate_minhash_params(n_hashes: int, bands: int) -> None:
+    """A non-dividing band count would silently band only
+    bands * (n_hashes // bands) components, discarding signature
+    information and degrading recall with no visible symptom — refuse
+    loudly, and refuse EARLY (callers that pin params to a store must
+    validate BEFORE pinning, or a failed run leaves a half-initialized
+    store whose pin blocks the corrected retry)."""
+    if bands < 1 or n_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must be >= 1 and divide n_hashes "
+            f"({n_hashes})"
+        )
+
+
 def minhash_band_buckets(
     sigs: DataFrame, n_hashes: int, bands: int
 ) -> DataFrame:
     """(id, sig) -> (id, sig, band, bucket): one row per LSH band, the
     bucket being the hash of that band's signature slice. Shared by the
     one-shot pair finder and the incremental signature store."""
+    validate_minhash_params(n_hashes, bands)
     rows_per_band = n_hashes // bands
     return sigs.select(
         "id",

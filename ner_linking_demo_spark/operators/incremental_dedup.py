@@ -38,7 +38,11 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from ..plans.fs import BatchLayout, catalog_fs
-from .dedup import minhash_band_buckets, minhash_signatures_df
+from .dedup import (
+    minhash_band_buckets,
+    minhash_signatures_df,
+    validate_minhash_params,
+)
 
 
 class SignatureStore:
@@ -161,6 +165,7 @@ def resignature_store(
     batch, driver loop over the O(#batches) id list. Ids present in the
     store but missing from ``docs`` raise: silently dropping them would
     turn future history matches into false negatives."""
+    validate_minhash_params(n_hashes, bands)  # BEFORE the pin
     hist = old_store.read()
     new_store = SignatureStore(spark, new_root)
     new_store.pin_params(n_hashes, bands, shingle_size, write=True)
@@ -271,6 +276,7 @@ def incremental_neardup(
     wrong answer into an error — callers replaying old batches must keep
     the published match output (or re-run before compacting).
     """
+    validate_minhash_params(n_hashes, bands)  # BEFORE the pin
     _reject_compacted_replay(store, batch_id)
     store.pin_params(n_hashes, bands, shingle_size, write=eager_isolation)
     sigs = minhash_signatures_df(
