@@ -75,6 +75,7 @@ def run_corpus_pipeline(
     checkpoint_dir: str | None = None,
     input_sig: str | None = None,
     collect_stats: bool = False,
+    persist_intermediate: bool = False,
 ) -> CorpusResult:
     """docs -> deduplicated, filtered corpus. ``kept`` carries the
     annotation columns plus ``content_hash``/``dup_count`` from exact
@@ -116,6 +117,16 @@ def run_corpus_pipeline(
         exact = cat.stage("corpus_exact", f"{sig}|{conf}", lambda: exact)
     if collect_stats:
         stats["after_exact"] = exact.count()
+
+    # with near_dup on, `exact` feeds TWO consumers (pair mining and the
+    # final anti-join); without a materialization Spark recomputes the
+    # scan + dedup window once per consumer. Checkpointed runs get the
+    # materialization from the corpus_exact snapshot; the pure-lineage
+    # path can opt in here — at 100 TB, one local-disk write of the
+    # deduped corpus beats a second full scan + window, while at bench
+    # scale the recompute is cheaper (hence opt-in, not default).
+    if near_dup and persist_intermediate and not cat:
+        exact = exact.localCheckpoint(eager=True)
 
     kept = exact
     if near_dup:

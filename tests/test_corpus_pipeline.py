@@ -132,3 +132,15 @@ def test_prepare_training_sequences_composition(spark, docs):
         for r in kept.select("doc_id", "n_tokens").collect()
     }
     assert stored == want
+
+
+def test_persist_intermediate_same_results(spark, docs):
+    """persist_intermediate (single-pass exact-dedup materialization for
+    the two-consumer near-dup path) must not change the kept set."""
+    kw = dict(min_tokens=5, near_dup=True, jaccard_threshold=0.5)
+    a = {r["doc_id"] for r in run_corpus_pipeline(
+        spark, docs, **kw).kept.select("doc_id").collect()}
+    b = {r["doc_id"] for r in run_corpus_pipeline(
+        spark, docs, persist_intermediate=True, **kw
+    ).kept.select("doc_id").collect()}
+    assert a == b
