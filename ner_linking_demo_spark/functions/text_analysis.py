@@ -4,11 +4,14 @@ scoring, token counting, fingerprinting.
 All pure Catalyst column expressions (whole-stage codegen, no Python) —
 these run as part of the page scan projection at 100 TB, so staying
 JVM-side is non-negotiable. Each has an exact DuckDB-SQL equivalent used
-by the correctness harness.
+by the correctness harness. The one exception is
+:func:`winnow_fingerprints` (Arrow-batched by design — see its
+docstring for why nested Catalyst HOFs are the wrong carrier there).
 """
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf type hints resolve here
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -111,3 +114,59 @@ def rolling_fingerprints(text: Column, window: int = 16, every: int = 64) -> Col
         F.sequence(F.lit(1), n, F.lit(every)),
         lambda i: F.md5(F.substring(text, i, window)),
     )
+
+
+def winnow_fingerprints(k: int = 16, w: int = 8):
+    """TRUE winnowing document fingerprints (Schleimer, Wilkerson &
+    Aiken '03 — the MOSS algorithm): Rabin-Karp rolling hash over every
+    ``k``-byte gram, keep the minimum hash of each ``w``-window of
+    consecutive gram hashes, distinct. Returns a pandas_udf:
+    text -> array<long> (sorted, deduped).
+
+    Guarantee the stride-sampled :func:`rolling_fingerprints` lacks: ANY
+    shared substring of length >= w + k - 1 between two documents yields
+    at least one shared fingerprint, REGARDLESS of alignment — the basis
+    of plagiarism/near-dup containment detection.
+
+    Arrow-batched by design (not nested Catalyst HOFs): the two-level
+    transform/slice expression form re-evaluates the inner gram-hash
+    array per window position when the optimizer collapses the
+    projections (O(n^2 k)), and interpreted nested HOFs measured ~10x
+    slower than the python loop even for plain shingling
+    (operators/dedup.py). Here the whole computation is three numpy
+    sliding-window primitives per batch: one matmul for all gram hashes
+    (uint64 wraparound Rabin-Karp), one windowed min, one unique."""
+    import numpy as np
+
+    if k < 1 or w < 1:
+        raise ValueError("k and w must be >= 1")
+    B = np.uint64(1000003)  # odd multiplier; 2^64 wraparound is the mod
+    powers = np.empty(k, dtype=np.uint64)
+    p = np.uint64(1)
+    for j in range(k - 1, -1, -1):
+        powers[j] = p
+        p = np.uint64(p * B)  # wraps mod 2^64
+
+    def _fps(text: str) -> list[int]:
+        data = np.frombuffer(
+            text.encode("utf-8", "surrogatepass"), dtype=np.uint8
+        ).astype(np.uint64)
+        if len(data) < k:
+            data = np.pad(data, (0, k - len(data)), constant_values=0)
+        with np.errstate(over="ignore"):
+            grams = np.lib.stride_tricks.sliding_window_view(data, k)
+            hashes = (grams * powers).sum(axis=1, dtype=np.uint64)
+        if len(hashes) <= w:
+            mins = np.array([hashes.min()], dtype=np.uint64)
+        else:
+            mins = np.lib.stride_tricks.sliding_window_view(
+                hashes, w
+            ).min(axis=1)
+        # int64 reinterpret: Spark longs (value-identical bit patterns)
+        return np.unique(mins).view(np.int64).tolist()
+
+    @F.pandas_udf("array<long>")
+    def fps(text: pd.Series) -> pd.Series:
+        return text.map(lambda t: [] if t is None else _fps(t))
+
+    return fps

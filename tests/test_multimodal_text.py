@@ -78,3 +78,54 @@ def test_multimodal_features_plumbing(spark, docs):
 def test_decode_stub_raises():
     with pytest.raises(NotImplementedError):
         MM.decode_image(b"\x89PNG")
+
+
+def test_winnow_fingerprints_guarantee_and_shift_invariance(spark):
+    """Winnowing guarantee (MOSS): documents sharing a substring of
+    length >= w + k - 1 share at least one fingerprint REGARDLESS of
+    alignment; unrelated docs share (essentially) none; deterministic."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from ner_linking_demo_spark.functions.text_analysis import (
+        winnow_fingerprints,
+    )
+
+    k, w = 8, 4
+    rng = random.Random(5)
+    alpha = "abcdefghij "
+    common = "".join(rng.choice(alpha) for _ in range(k + w - 1 + 20))
+    rows = []
+    for i in range(6):
+        prefix = "".join(rng.choice(alpha) for _ in range(rng.randrange(40)))
+        suffix = "".join(rng.choice(alpha) for _ in range(rng.randrange(40)))
+        rows.append((i, prefix + common + suffix))
+    rows.append((100, "".join(rng.choice("zyxwvu") for _ in range(120))))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    fps = winnow_fingerprints(k=k, w=w)
+    got = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", fps(F.col("text")).alias("fp")
+        ).collect()
+    }
+    base = got[0]
+    for i in range(1, 6):  # every embedding of `common` shares >= 1 fp
+        assert base & got[i], i
+    assert not (base & got[100])  # disjoint alphabet -> no overlap
+
+    # determinism across evaluations
+    again = {
+        r["doc_id"]: set(r["fp"])
+        for r in df.select(
+            "doc_id", fps(F.col("text")).alias("fp")
+        ).collect()
+    }
+    assert again == got
+
+    # NULL and short texts survive
+    edge = spark.createDataFrame(
+        [(1, None), (2, "ab")], ["doc_id", "text"]
+    ).select("doc_id", fps(F.col("text")).alias("fp")).collect()
+    assert [r["fp"] for r in sorted(edge, key=lambda r: r["doc_id"])][0] == []
