@@ -592,3 +592,76 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", "cosine")
     )
+
+
+def winnow_containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 16,
+    w: int = 8,
+    containment_threshold: float = 0.8,
+    max_fp_freq: int | None = 1000,
+) -> DataFrame:
+    """Directed CONTAINMENT detection via winnowing fingerprints — the
+    near-dup semantic MinHash Jaccard systematically under-scores: a
+    small document quoted whole inside a much larger wrapper has
+    Jaccard |A∩B|/|A∪B| ~ |A|/|B| (tiny) but containment
+    |fps(A)∩fps(B)| / |fps(A)| ~ 1. The classic cases are article +
+    comment-page wrapper, quotes, mirrors with boilerplate, and
+    copy-paste plagiarism (the original winnowing application).
+
+    Returns (id_inner, id_outer, containment double) with
+    containment >= threshold: "inner's content appears inside outer".
+    Directed, both directions examined, self-pairs excluded.
+
+    Scale posture: the join streams (id, fp) rows ONLY — text never
+    shuffles (same discipline as the MinHash banding). Ubiquitous
+    fingerprints (site boilerplate shared by everything) are the hot
+    keys; ``max_fp_freq`` drops fingerprints appearing in more than
+    that many docs BEFORE the self-join — the exploding key carries no
+    discriminative signal anyway (df-style pruning), and the drop
+    lowers measured containment for boilerplate only, which is the
+    desired bias. Candidate generation is exact for surviving
+    fingerprints: any shared substring of length >= w + k - 1 that
+    avoids pruned fingerprints is detected regardless of alignment
+    (the winnowing guarantee).
+    """
+    from ..functions.text_analysis import winnow_fingerprints
+
+    fps_udf = winnow_fingerprints(k=k, w=w)
+    fps = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.explode(fps_udf(F.col(text_col))).alias("fp"),
+        )
+        # fingerprints within one doc are already distinct (np.unique)
+    )
+    if max_fp_freq is not None:
+        hot = (
+            fps.groupBy("fp")
+            .count()
+            .filter(F.col("count") > max_fp_freq)
+            .select("fp")
+        )
+        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
+    sizes = fps.groupBy("id").agg(F.count("*").alias("n_fp"))
+    a = fps.select(F.col("id").alias("id_inner"), "fp")
+    b = fps.select(F.col("id").alias("id_outer"), "fp")
+    shared = (
+        a.join(b, "fp")
+        .filter(F.col("id_inner") != F.col("id_outer"))
+        .groupBy("id_inner", "id_outer")
+        .agg(F.count("*").alias("n_shared"))
+    )
+    return (
+        shared.join(
+            sizes.withColumnRenamed("id", "id_inner"), "id_inner"
+        )
+        .withColumn(
+            "containment",
+            F.col("n_shared").cast("double") / F.col("n_fp"),
+        )
+        .filter(F.col("containment") >= containment_threshold)
+        .select("id_inner", "id_outer", "containment")
+    )

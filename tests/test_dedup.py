@@ -170,3 +170,36 @@ def test_embedding_lsh_pairs_vs_blocked(spark):
         and bin(int(buckets[i]) ^ int(buckets[j])).count("1") <= 1
     }
     assert found == expect
+
+
+def test_winnow_containment_pairs(spark):
+    """A small doc embedded whole inside a large wrapper: containment
+    ~1.0 (detected) while symmetric Jaccard would be tiny; unrelated
+    docs produce no pairs; direction is inner->outer."""
+    import random
+
+    from ner_linking_demo_spark.operators.dedup import (
+        winnow_containment_pairs,
+    )
+
+    rng = random.Random(9)
+    alpha = "abcdefghijklmnop "
+    inner = "".join(rng.choice(alpha) for _ in range(300))
+    wrapper = (
+        "".join(rng.choice(alpha) for _ in range(1500))
+        + inner
+        + "".join(rng.choice(alpha) for _ in range(1500))
+    )
+    other = "".join(rng.choice("qrstuvwxyz ") for _ in range(800))
+    df = spark.createDataFrame(
+        [(1, inner), (2, wrapper), (3, other)], ["doc_id", "text"]
+    )
+    got = {
+        (r["id_inner"], r["id_outer"]): r["containment"]
+        for r in winnow_containment_pairs(
+            df, k=12, w=6, containment_threshold=0.8
+        ).collect()
+    }
+    assert (1, 2) in got and got[(1, 2)] >= 0.9  # inner inside wrapper
+    assert (2, 1) not in got  # wrapper NOT contained in inner
+    assert not any(3 in pair for pair in got)  # unrelated: no pairs
