@@ -96,6 +96,28 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
                     "whole)")
     ap.add_argument("--keep-last", type=int, default=2)
     ap.add_argument("--target-file-mb", type=int, default=128)
+    ap.add_argument(
+        "--curate", action="store_true",
+        help="corpus-curation run instead of KG construction: pages "
+        "(parquet/table/WARC, --from-html supported) -> annotate -> "
+        "filter (--min-tokens/--min-quality/--lang) -> exact + near-dup "
+        "dedup -> <out>/kept parquet, plus <out>/sequences (greedy "
+        "packing into --max-tokens training windows). No gazetteer "
+        "needed.",
+    )
+    ap.add_argument("--min-tokens", type=int, default=None,
+                    help="with --curate: drop docs below this token count")
+    ap.add_argument("--min-quality", type=float, default=None,
+                    help="with --curate: drop docs below this quality "
+                    "score [0,1]")
+    ap.add_argument("--lang", default=None,
+                    help="with --curate: comma-separated lang-id allowlist "
+                    "(e.g. es,en)")
+    ap.add_argument("--jaccard", type=float, default=0.7,
+                    help="with --curate: near-dup Jaccard threshold")
+    ap.add_argument("--max-tokens", type=int, default=2048,
+                    help="with --curate: training-window token budget "
+                    "for sequence packing (0 skips packing)")
     args = ap.parse_args(argv)
 
     if args.maintain:
@@ -127,6 +149,12 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
             )
         _run_maintenance(args, stop_session)
         return
+    if args.curate:
+        for req in ("pages", "out"):
+            if getattr(args, req) is None:
+                ap.error(f"--{req} is required for --curate")
+        _run_curation(args, stop_session)
+        return
     for req in ("pages", "gazetteer", "out"):
         if getattr(args, req) is None:
             ap.error(f"--{req} is required for a pipeline run")
@@ -141,23 +169,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     from ner_linking_demo_spark.session import get_spark
 
     spark = get_spark(app_name="kg-construct")
-    fmt = args.pages_format
-    if fmt == "auto":
-        if args.pages.endswith((".warc", ".warc.gz")):
-            fmt = "warc"
-        elif (os.path.exists(args.pages) or args.pages.endswith(".parquet")
-              or "/" in args.pages):
-            fmt = "parquet"
-        else:
-            fmt = "table"
-    if fmt == "warc":
-        from ner_linking_demo_spark.sources.warc import pages_from_warc
-
-        pages = pages_from_warc(spark, args.pages)
-    elif fmt == "parquet":
-        pages = spark.read.parquet(args.pages)
-    else:
-        pages = spark.read.table(args.pages)
+    pages = _load_pages(spark, args)
     gaz = pd.read_csv(args.gazetteer, sep="\t", dtype={"code": str})
 
     from_html = args.from_html
@@ -225,6 +237,93 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     print("invariants:", verify_invariants(res))
     if stop_session:  # False for in-process (test) callers sharing a session
         spark.stop()
+
+
+def _load_pages(spark, args):
+    """Shared pages loader: parquet dir / table name / WARC archive,
+    with the same auto-detection for the KG and curation paths."""
+    fmt = args.pages_format
+    if fmt == "auto":
+        if args.pages.endswith((".warc", ".warc.gz")):
+            fmt = "warc"
+        elif (os.path.exists(args.pages) or args.pages.endswith(".parquet")
+              or "/" in args.pages):
+            fmt = "parquet"
+        else:
+            fmt = "table"
+    if fmt == "warc":
+        from ner_linking_demo_spark.sources.warc import pages_from_warc
+
+        return pages_from_warc(spark, args.pages)
+    if fmt == "parquet":
+        return spark.read.parquet(args.pages)
+    return spark.read.table(args.pages)
+
+
+def _run_curation(args, stop_session: bool) -> None:
+    """Corpus-curation mode: the training-data pipeline as a first-class
+    CLI surface — pages in, deduplicated kept corpus + packed training
+    sequences out. Reuses the KG path's page loading (incl. WARC and
+    --from-html) and the corpus composition's plan shape (annotate +
+    filter = scan projection; exact dedup = one shuffle; near-dup = LSH
+    banding + CC on pairs; packing = one repartition + iterator UDF)."""
+    from pyspark.sql import functions as F
+
+    from ner_linking_demo_spark.operators.packing import pack_sequences
+    from ner_linking_demo_spark.plans.corpus_pipeline import (
+        run_corpus_pipeline,
+    )
+    from ner_linking_demo_spark.session import get_spark
+
+    spark = get_spark(app_name="corpus-curate")
+    try:
+        pages = _load_pages(spark, args)
+        if args.from_html:
+            from ner_linking_demo_spark.functions.html_extract import (
+                extract_text_expr,
+            )
+
+            pages = pages.withColumn("text", extract_text_expr("html"))
+        pages = pages.filter(F.col("text").isNotNull())
+        docs = pages.select(F.col("url").alias("doc_id"), "text")
+        lang_allow = (
+            tuple(x.strip() for x in args.lang.split(",") if x.strip())
+            if args.lang
+            else None
+        )
+        res = run_corpus_pipeline(
+            spark,
+            docs,
+            lang_allow=lang_allow,
+            min_quality=args.min_quality,
+            min_tokens=args.min_tokens,
+            near_dup=True,
+            jaccard_threshold=args.jaccard,
+            checkpoint_dir=args.checkpoint,
+            input_sig=args.input_sig,
+            persist_intermediate=args.checkpoint is None,
+        )
+        kept = res.kept
+        kept.write.mode("overwrite").parquet(f"{args.out}/kept")
+        kept_pq = spark.read.parquet(f"{args.out}/kept")
+        n_kept = kept_pq.count()
+        print(f"kept: {n_kept} docs -> {args.out}/kept")
+        if args.max_tokens > 0:
+            # pack the PARQUET-read kept corpus (not the lineage):
+            # token counts reuse the annotate stage's n_tokens column
+            seqs = pack_sequences(
+                kept_pq, max_tokens=args.max_tokens,
+                tokens_col="n_tokens", num_partitions=args.partitions,
+            )
+            seqs.write.mode("overwrite").parquet(f"{args.out}/sequences")
+            n_seq = spark.read.parquet(f"{args.out}/sequences").count()
+            print(
+                f"sequences: {n_seq} windows (<= {args.max_tokens} "
+                f"tokens) -> {args.out}/sequences"
+            )
+    finally:
+        if stop_session:
+            spark.stop()
 
 
 def _run_maintenance(args, stop_session: bool) -> None:

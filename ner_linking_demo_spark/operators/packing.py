@@ -51,10 +51,16 @@ from pyspark.sql import functions as F
 
 from ..functions.text_analysis import token_count
 
-PACKED_SCHEMA = (
-    "seq_id string, doc_ids array<long>, n_docs int, "
-    "total_tokens long, oversize boolean"
-)
+
+def packed_schema(id_sql_type: str = "bigint") -> str:
+    return (
+        f"seq_id string, doc_ids array<{id_sql_type}>, n_docs int, "
+        "total_tokens long, oversize boolean"
+    )
+
+
+# long-id default, kept for callers/tests that reference the constant
+PACKED_SCHEMA = packed_schema()
 
 _COLUMNS = ["seq_id", "doc_ids", "n_docs", "total_tokens", "oversize"]
 
@@ -144,16 +150,20 @@ def pack_sequences(
     scan projection. Greedy FIRST-FIT over id-sorted docs per partition:
     a doc opens a new sequence only when it fits no open sequence (see
     module docstring for the bounded-open-bins retirement policy)."""
+    # ids pass through at their own type (long doc ids, string urls, ...):
+    # hashing, sorting and the packer treat them opaquely, and the output
+    # doc_ids array takes the input's SQL type
     if tokens_col is None:
         src = docs.select(
-            F.col(id_col).cast("long").alias("id"),
+            F.col(id_col).alias("id"),
             token_count(F.col(text_col)).alias("n_tok"),
         )
     else:
         src = docs.select(
-            F.col(id_col).cast("long").alias("id"),
+            F.col(id_col).alias("id"),
             F.col(tokens_col).cast("long").alias("n_tok"),
         )
+    id_sql_type = dict(src.dtypes)["id"]
     # hash(id) partitioning is a pure function of the value: stable
     # across runs/sessions for a fixed partition count, unlike sampled
     # range boundaries
@@ -183,7 +193,7 @@ def pack_sequences(
         for pdf in batches:
             closed: list[tuple] = []
             for doc_id, n_tok in zip(pdf["id"], pdf["n_tok"]):
-                closed.extend(packer.add(int(doc_id), int(n_tok)))
+                closed.extend(packer.add(doc_id, int(n_tok)))
             if closed:
                 # emit per Arrow batch: output never buffers the
                 # partition, only the open-bin state persists
@@ -192,4 +202,4 @@ def pack_sequences(
         if tail:
             yield frame(tail)
 
-    return src.mapInPandas(pack, schema=PACKED_SCHEMA)
+    return src.mapInPandas(pack, schema=packed_schema(id_sql_type))

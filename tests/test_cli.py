@@ -189,3 +189,38 @@ def test_coarse_granularity_rejects_reranker(spark, golden_pages, golden_gazette
             checkpoint_dir=str(tmp_path / "y"),
             checkpoint_granularity="Coarse",
         )
+
+
+def test_cli_curate(spark, tmp_path):
+    """--curate: pages in -> deduplicated kept corpus + packed training
+    sequences out, no gazetteer needed; the planted duplicate page is
+    dropped and every kept url lands in exactly one window."""
+    import duckdb
+
+    from ner_linking_demo_spark import __main__ as CLI
+    from ner_linking_demo_spark.sources import fixtures as FX
+
+    gaz = FX.gen_gazetteer(n_codes=10)
+    pdf = FX.gen_pages(n_pages=25, gazetteer=gaz)[["url", "text"]]
+    import pandas as pd
+
+    pdf = pd.concat([pdf, pd.DataFrame([
+        {"url": "probe://dup", "text": pdf.iloc[0]["text"]},
+    ])], ignore_index=True)
+    spark.createDataFrame(pdf).write.parquet(str(tmp_path / "pages"))
+
+    out = tmp_path / "cur"
+    CLI.main(
+        ["--curate", "--pages", str(tmp_path / "pages"),
+         "--out", str(out), "--min-tokens", "3", "--max-tokens", "128"],
+        stop_session=False,
+    )
+    kept = duckdb.sql(
+        f"SELECT doc_id FROM '{out}/kept/*.parquet'"
+    ).df()["doc_id"].tolist()
+    assert "probe://dup" not in kept  # exact dup dropped (url order)
+    assert len(kept) == len(set(kept))
+    packed = duckdb.sql(
+        f"SELECT unnest(doc_ids) AS d FROM '{out}/sequences/*.parquet'"
+    ).df()["d"].tolist()
+    assert sorted(packed) == sorted(kept)  # every kept doc packed once
