@@ -77,9 +77,10 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     ap.add_argument("--bands", type=int, default=None,
                     help="with --maintain resignature: REQUIRED new LSH "
                     "band count")
-    ap.add_argument("--shingle-size", type=int, default=3,
-                    help="with --maintain resignature: token shingle "
-                    "width (default 3, the engine-wide default)")
+    ap.add_argument("--shingle-size", type=int, default=None,
+                    help="with --maintain resignature: REQUIRED token "
+                    "shingle width (a store pinned at a non-default "
+                    "width must not silently re-shingle at another)")
     ap.add_argument("--tables", default=None,
                     help="comma-separated tables for --maintain "
                     "(default: every table in the checkpoint)")
@@ -125,11 +126,15 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
             # explicit params are the POINT of a migration: no defaults
             # that could silently pin a store to a layout nothing else
             # uses (engine defaults are n_hashes=16, bands=4)
-            for req in ("store", "docs", "new_root", "n_hashes", "bands"):
+            for req in (
+                "store", "docs", "new_root", "n_hashes", "bands",
+                "shingle_size",
+            ):
                 if getattr(args, req) is None:
                     ap.error(
                         "--maintain resignature requires --store, "
-                        "--docs, --new-root, --n-hashes and --bands"
+                        "--docs, --new-root, --n-hashes, --bands and "
+                        "--shingle-size"
                     )
             if args.checkpoint or args.batch_layout or args.tables:
                 ap.error(
@@ -300,7 +305,11 @@ def _run_curation(args, stop_session: bool) -> None:
             near_dup=True,
             jaccard_threshold=args.jaccard,
             checkpoint_dir=args.checkpoint,
-            input_sig=args.input_sig,
+            # fold the pages source into the resume signature: the
+            # default (schema-only) sig would silently resume another
+            # dataset's snapshots when --pages changes under the same
+            # --checkpoint
+            input_sig=f"{args.input_sig or args.pages}|curate",
             persist_intermediate=args.checkpoint is None,
         )
         kept = res.kept

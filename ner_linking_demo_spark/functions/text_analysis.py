@@ -133,19 +133,23 @@ def winnow_fingerprints(k: int = 16, w: int = 8):
     array per window position when the optimizer collapses the
     projections (O(n^2 k)), and interpreted nested HOFs measured ~10x
     slower than the python loop even for plain shingling
-    (operators/dedup.py). Here the whole computation is three numpy
-    sliding-window primitives per batch: one matmul for all gram hashes
-    (uint64 wraparound Rabin-Karp), one windowed min, one unique."""
+    (operators/dedup.py).
+
+    Memory is O(n) per document, NOT O(n*k): gram hashes come from a
+    prefix rolling hash — h_i = (S[i+k-1] - S[i-1]) * B^(i+k-1) with
+    S = cumsum(byte[j] * Binv^j), Binv the multiplicative inverse of B
+    mod 2^64 (B is odd, so it exists) — algebraically identical to the
+    direct window sum (parity-tested), so a 100 MB outlier page costs
+    ~800 MB transient instead of ~13 GB (the naive n-by-k gram matrix
+    at k=16)."""
     import numpy as np
 
     if k < 1 or w < 1:
         raise ValueError("k and w must be >= 1")
-    B = np.uint64(1000003)  # odd multiplier; 2^64 wraparound is the mod
-    powers = np.empty(k, dtype=np.uint64)
-    p = np.uint64(1)
-    for j in range(k - 1, -1, -1):
-        powers[j] = p
-        p = np.uint64(p * B)  # wraps mod 2^64
+    MOD = 1 << 64
+    B = 1000003  # odd multiplier; 2^64 wraparound is the mod
+    B_INV = pow(B, -1, MOD)
+    B_K1 = pow(B, k - 1, MOD)
 
     def _fps(text: str) -> list[int]:
         data = np.frombuffer(
@@ -153,9 +157,21 @@ def winnow_fingerprints(k: int = 16, w: int = 8):
         ).astype(np.uint64)
         if len(data) < k:
             data = np.pad(data, (0, k - len(data)), constant_values=0)
+        n = len(data)
         with np.errstate(over="ignore"):
-            grams = np.lib.stride_tricks.sliding_window_view(data, k)
-            hashes = (grams * powers).sum(axis=1, dtype=np.uint64)
+            # Binv^j for j = 0..n-1 and B^(i+k-1) for window i = 0..n-k
+            # (uint64 cumprod wraps mod 2^64 — exactly the arithmetic
+            # we want; all powers via python pow, no scalar overflow)
+            binv = np.full(n, np.uint64(B_INV))
+            binv[0] = 1
+            binv = np.cumprod(binv)
+            bp = np.full(n - k + 1, np.uint64(B))
+            bp[0] = np.uint64(B_K1)
+            bp = np.cumprod(bp)
+            s = np.cumsum(data * binv)  # S[j], wraps mod 2^64
+            winsum = s[k - 1:].copy()
+            winsum[1:] -= s[: n - k]
+            hashes = winsum * bp
         if len(hashes) <= w:
             mins = np.array([hashes.min()], dtype=np.uint64)
         else:

@@ -602,6 +602,8 @@ def winnow_containment_pairs(
     w: int = 8,
     containment_threshold: float = 0.8,
     max_fp_freq: int | None = 1000,
+    min_fps: int = 5,
+    persist_fingerprints: bool = True,
 ) -> DataFrame:
     """Directed CONTAINMENT detection via winnowing fingerprints — the
     near-dup semantic MinHash Jaccard systematically under-scores: a
@@ -620,12 +622,21 @@ def winnow_containment_pairs(
     fingerprints (site boilerplate shared by everything) are the hot
     keys; ``max_fp_freq`` drops fingerprints appearing in more than
     that many docs BEFORE the self-join — the exploding key carries no
-    discriminative signal anyway (df-style pruning), and the drop
-    lowers measured containment for boilerplate only, which is the
-    desired bias. Candidate generation is exact for surviving
+    discriminative signal anyway (df-style pruning). Pruning CUTS THE
+    DENOMINATOR too: a doc that is mostly boilerplate keeps few
+    fingerprints, and a ratio over a tiny denominator is noise (one
+    shared residual fingerprint = containment 1.0), so docs with fewer
+    than ``min_fps`` surviving fingerprints produce NO pairs rather
+    than false ones. Candidate generation is exact for surviving
     fingerprints: any shared substring of length >= w + k - 1 that
     avoids pruned fingerprints is detected regardless of alignment
     (the winnowing guarantee).
+
+    The fingerprint relation feeds three consumers (hot-key census,
+    per-doc sizes, the self-join); ``persist_fingerprints`` (default
+    on) localCheckpoints it once so the text scan + UDF runs once, not
+    three times — the same two-consumer remedy as
+    run_corpus_pipeline's persist_intermediate.
     """
     from ..functions.text_analysis import winnow_fingerprints
 
@@ -637,6 +648,8 @@ def winnow_containment_pairs(
         )
         # fingerprints within one doc are already distinct (np.unique)
     )
+    if persist_fingerprints:
+        fps = fps.localCheckpoint(eager=True)
     if max_fp_freq is not None:
         hot = (
             fps.groupBy("fp")
@@ -644,8 +657,13 @@ def winnow_containment_pairs(
             .filter(F.col("count") > max_fp_freq)
             .select("fp")
         )
-        fps = fps.join(F.broadcast(hot), "fp", "left_anti")
-    sizes = fps.groupBy("id").agg(F.count("*").alias("n_fp"))
+        # plain join, NOT broadcast: the hot-fingerprint set is
+        # data-dependent and unbounded on boilerplate-heavy corpora
+        # (same reasoning as minhash_lsh_pairs' ok_buckets filter)
+        fps = fps.join(hot, "fp", "left_anti")
+    sizes = fps.groupBy("id").agg(F.count("*").alias("n_fp")).filter(
+        F.col("n_fp") >= min_fps
+    )
     a = fps.select(F.col("id").alias("id_inner"), "fp")
     b = fps.select(F.col("id").alias("id_outer"), "fp")
     shared = (

@@ -203,3 +203,31 @@ def test_winnow_containment_pairs(spark):
     assert (1, 2) in got and got[(1, 2)] >= 0.9  # inner inside wrapper
     assert (2, 1) not in got  # wrapper NOT contained in inner
     assert not any(3 in pair for pair in got)  # unrelated: no pairs
+
+
+def test_winnow_containment_min_fps_floor(spark):
+    """A doc whose fingerprints are almost all pruned as boilerplate
+    must produce NO pairs (a ratio over a tiny denominator is noise),
+    and the hot-fingerprint pruning itself works."""
+    import random
+
+    from ner_linking_demo_spark.operators.dedup import (
+        winnow_containment_pairs,
+    )
+
+    rng = random.Random(4)
+    boiler = "".join(rng.choice("abcdef ") for _ in range(400))
+    rows = [(i, boiler) for i in range(10)]  # 10 copies: all fps hot
+    # one residual unique tail shared between docs 100 and 101 only
+    tail = "".join(rng.choice("ghijkl ") for _ in range(60))
+    rows += [(100, boiler + " " + tail), (101, tail)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = winnow_containment_pairs(
+        df, k=12, w=6, containment_threshold=0.8, max_fp_freq=5,
+        min_fps=5,
+    ).collect()
+    # doc 100's surviving fps are only the tail's (boiler pruned at
+    # freq>5); with the floor, tiny-denominator docs yield no pairs
+    # unless they genuinely retain >= min_fps discriminative fps
+    for r in got:
+        assert r["id_inner"] in (100, 101) and r["id_outer"] in (100, 101)
