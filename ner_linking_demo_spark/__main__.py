@@ -95,6 +95,13 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
                     "every batch with id <= this horizon (expire BEFORE "
                     "compact — a consolidated partition only expires "
                     "whole)")
+    ap.add_argument("--expire-older-than-days", type=float, default=None,
+                    help="with --maintain expire --batch-layout: "
+                    "age-based horizon — drop every batch whose "
+                    "published directory is older than this many days "
+                    "(conservative prefix rule over batch ids; the "
+                    "newest batch never expires). Mutually exclusive "
+                    "with --expire-upto")
     ap.add_argument("--keep-last", type=int, default=2)
     ap.add_argument("--target-file-mb", type=int, default=128)
     ap.add_argument(
@@ -144,6 +151,19 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
                 )
         elif not args.checkpoint and not args.batch_layout:
             ap.error("--maintain requires --checkpoint or --batch-layout")
+        if (
+            args.expire_older_than_days is not None
+            and args.expire_upto is not None
+        ):
+            ap.error(
+                "--expire-upto and --expire-older-than-days are two "
+                "different horizons — pass exactly one"
+            )
+        if args.expire_older_than_days is not None and not args.batch_layout:
+            ap.error(
+                "--expire-older-than-days applies to --batch-layout "
+                "expiry only"
+            )
         if args.expire_upto is not None and not args.batch_layout:
             # checkpoint expiry is keep-last-N snapshot retention, a
             # different semantic — silently ignoring the horizon flag
@@ -375,16 +395,31 @@ def _dispatch_maintenance(spark, args) -> None:
 
         lay = BatchLayout(spark, args.batch_layout)
         if args.maintain == "expire":
-            if args.expire_upto is None:
+            if args.expire_upto is None and args.expire_older_than_days is None:
                 raise SystemExit(
                     "--batch-layout with --maintain expire requires "
-                    "--expire-upto <batch_id> (the retention horizon)"
+                    "--expire-upto <batch_id> or "
+                    "--expire-older-than-days <days> (a retention horizon)"
                 )
-            removed = lay.expire_upto(args.expire_upto)
-            print(
-                f"expire {args.batch_layout}: removed "
-                f"{len(removed)} partition(s) <= {args.expire_upto}"
-            )
+            if args.expire_older_than_days is not None:
+                import time
+
+                ts_ms = int(
+                    (time.time() - args.expire_older_than_days * 86400)
+                    * 1000
+                )
+                removed = lay.expire_before(ts_ms)
+                print(
+                    f"expire {args.batch_layout}: removed "
+                    f"{len(removed)} partition(s) older than "
+                    f"{args.expire_older_than_days} day(s)"
+                )
+            else:
+                removed = lay.expire_upto(args.expire_upto)
+                print(
+                    f"expire {args.batch_layout}: removed "
+                    f"{len(removed)} partition(s) <= {args.expire_upto}"
+                )
         else:
             upto = lay.compact(
                 target_file_bytes=args.target_file_mb * 1024 * 1024

@@ -116,6 +116,181 @@ def rolling_fingerprints(text: Column, window: int = 16, every: int = 64) -> Col
     )
 
 
+# Published thresholds from Gopher (Rae et al. 2021, "Scaling Language
+# Models", Table A1): a document is REMOVED when the signal exceeds the
+# threshold. Keys match the struct fields of repetition_signals_udf.
+GOPHER_REPETITION_THRESHOLDS = {
+    "dup_line_frac": 0.30,
+    "dup_line_char_frac": 0.20,
+    "top_2gram_char_frac": 0.20,
+    "top_3gram_char_frac": 0.18,
+    "top_4gram_char_frac": 0.16,
+    "dup_5gram_char_frac": 0.15,
+    "dup_6gram_char_frac": 0.14,
+    "dup_7gram_char_frac": 0.13,
+    "dup_8gram_char_frac": 0.12,
+    "dup_9gram_char_frac": 0.11,
+    "dup_10gram_char_frac": 0.10,
+}
+
+
+def repetition_signals_udf(
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+):
+    """Gopher-style repetition signals (Rae et al. 2021 §A1.1) in ONE
+    Arrow-batched pass per document. Returns a pandas_udf:
+    text -> struct with fields
+
+    - ``dup_line_frac``: fraction of non-empty lines whose exact text
+      occurs on more than one line;
+    - ``dup_line_char_frac``: fraction of line characters belonging to
+      such duplicated lines;
+    - ``top_{n}gram_char_frac`` (n in ``top_ns``): characters of the
+      single most frequent word n-gram (count x its char length) over
+      the total text length; 0.0 when the top gram occurs only once
+      (count>1 guard — a unique gram is not repetition, and without the
+      guard every short document trips on its own longest n-gram).
+      NOTE: occurrences of the top gram can
+      overlap ("aa aa aa" at n=2), so this ratio is an over-count that
+      may exceed 1.0 on degenerate spam — the standard reading of the
+      Gopher definition (datatrove does the same); thresholds are low
+      (<0.2) so the unbounded tail only makes spam MORE likely to trip;
+    - ``dup_{n}gram_char_frac`` (n in ``dup_ns``): characters covered by
+      ANY occurrence of an n-gram whose corpus-in-document count > 1,
+      overlaps counted once (a position-cover over token char spans, the
+      datatrove/NeMo-Curator reading of the Gopher definition), over the
+      total text length.
+
+    Arrow-batched rather than Catalyst HOFs for the same reason as
+    :func:`winnow_fingerprints` and ``dedup.minhash_signatures_df``:
+    counting n-gram runs needs a sort + aggregate per row, and nested
+    interpreted HOFs measured ~10x slower than the python loop for plain
+    shingling. One Counter pass per (doc, n) is O(tokens) and the whole
+    struct rides a single scan projection — no shuffle at 100 TB.
+
+    The word-salad test fixtures have no newlines; the line signals are
+    exercised by dedicated multi-line fixtures in tests.
+    """
+    from collections import Counter
+
+    for n in (*top_ns, *dup_ns):
+        if n < 1:
+            raise ValueError("n-gram sizes must be >= 1")
+
+    fields = ["dup_line_frac", "dup_line_char_frac"]
+    fields += [f"top_{n}gram_char_frac" for n in top_ns]
+    fields += [f"dup_{n}gram_char_frac" for n in dup_ns]
+    schema = ", ".join(f"{f} double" for f in fields)
+
+    def _signals(text: str) -> tuple:
+        out = []
+        lines = [ln for ln in text.split("\n") if ln.strip()]
+        if lines:
+            counts = Counter(lines)
+            dup_lines = sum(c for c in counts.values() if c > 1)
+            dup_chars = sum(
+                len(ln) * c for ln, c in counts.items() if c > 1
+            )
+            total_line_chars = sum(len(ln) for ln in lines)
+            out.append(dup_lines / len(lines))
+            out.append(dup_chars / max(total_line_chars, 1))
+        else:
+            out += [0.0, 0.0]
+
+        toks = text.split()
+        total_chars = max(len(text), 1)
+        # char span of each token in the original text (for the cover)
+        spans = []
+        pos = 0
+        for t in toks:
+            start = text.index(t, pos)
+            spans.append((start, start + len(t)))
+            pos = start + len(t)
+
+        for n in top_ns:
+            if len(toks) < n:
+                out.append(0.0)
+                continue
+            grams = Counter(
+                tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            gram, cnt = max(grams.items(), key=lambda kv: (kv[1], kv[0]))
+            if cnt < 2:
+                # a gram occurring once is not repetition: without this
+                # guard any short doc trips the threshold on its own
+                # longest 4-gram (datatrove guards identically)
+                out.append(0.0)
+                continue
+            out.append(cnt * (sum(len(t) for t in gram) + n - 1) / total_chars)
+
+        for n in dup_ns:
+            if len(toks) < n:
+                out.append(0.0)
+                continue
+            grams = Counter(
+                tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            covered = bytearray(len(text))
+            for i in range(len(toks) - n + 1):
+                if grams[tuple(toks[i : i + n])] > 1:
+                    lo = spans[i][0]
+                    hi = spans[i + n - 1][1]
+                    for j in range(lo, hi):
+                        covered[j] = 1
+            out.append(sum(covered) / total_chars)
+        return tuple(out)
+
+    @F.pandas_udf(schema)
+    def signals(text: pd.Series) -> pd.DataFrame:
+        rows = [
+            _signals(t) if t is not None else tuple(0.0 for _ in fields)
+            for t in text
+        ]
+        return pd.DataFrame(rows, columns=fields)
+
+    return signals
+
+
+def gopher_repetition_filter(
+    docs,
+    text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+    keep_signals: bool = False,
+):
+    """Drop documents failing ANY Gopher repetition threshold (signal >
+    threshold => removed). ``thresholds`` defaults to the published
+    Gopher Table-A1 values (GOPHER_REPETITION_THRESHOLDS); pass a subset
+    to filter on fewer signals. One scan, one Arrow projection, zero
+    shuffle — composes with run_corpus_pipeline's filter stage.
+
+    With ``keep_signals=True`` the struct column ``repetition`` stays on
+    the output for diagnostics; default drops it."""
+    th = GOPHER_REPETITION_THRESHOLDS if thresholds is None else thresholds
+    unknown = set(th) - set(GOPHER_REPETITION_THRESHOLDS)
+    if unknown:
+        raise ValueError(f"unknown repetition signals: {sorted(unknown)}")
+    top_ns = tuple(
+        sorted(
+            int(k.split("_")[1][:-4]) for k in th if k.startswith("top_")
+        )
+    )
+    dup_ns = tuple(
+        sorted(
+            int(k.split("_")[1][:-4])
+            for k in th
+            if k.startswith("dup_") and k.endswith("gram_char_frac")
+        )
+    )
+    udf = repetition_signals_udf(top_ns=top_ns, dup_ns=dup_ns)
+    out = docs.withColumn("repetition", udf(F.col(text_col)))
+    cond = F.lit(True)
+    for key, lim in th.items():
+        cond = cond & (F.col(f"repetition.{key}") <= F.lit(float(lim)))
+    out = out.filter(cond)
+    return out if keep_signals else out.drop("repetition")
+
+
 def winnow_fingerprints(k: int = 16, w: int = 8):
     """TRUE winnowing document fingerprints (Schleimer, Wilkerson &
     Aiken '03 — the MOSS algorithm): Rabin-Karp rolling hash over every

@@ -123,6 +123,12 @@ class SignatureStore:
         layout, including its expire-then-compact ordering rule."""
         return self._layout.expire_upto(upto)
 
+    def expire_before(self, ts_ms: int) -> list[str]:
+        """Age-based retention: drop signatures published before
+        ``ts_ms`` (epoch millis) — see BatchLayout.expire_before for the
+        conservative prefix rule and compaction interplay."""
+        return self._layout.expire_before(ts_ms)
+
     def read(self) -> DataFrame | None:
         """All published signatures (one parquet scan; the batch_id
         partition column rides along for replay exclusion). Compaction

@@ -2,7 +2,8 @@
 LLM-data operators exist for —
 
     docs --(annotate: lang/quality/tokens/fingerprint)-->
-         --(filter)--> --(exact dedup)--> --(near-dup cluster + keep
+         --(filter [+ Gopher repetition gate] [+ per-domain cap])-->
+         --(exact dedup)--> --(near-dup cluster + keep
          one representative per cluster)--> kept corpus
 
 Every leaf operator already has its own oracle-verified entry
@@ -70,6 +71,10 @@ def run_corpus_pipeline(
     bands: int = 4,
     shingle_size: int = 3,
     jaccard_threshold: float = 0.7,
+    repetition_thresholds: dict[str, float] | None = None,
+    domain_cap: int | None = None,
+    domain_cap_strategy: str = "approx",
+    url_col: str = "url",
     id_col: str = "doc_id",
     text_col: str = "text",
     checkpoint_dir: str | None = None,
@@ -79,15 +84,25 @@ def run_corpus_pipeline(
 ) -> CorpusResult:
     """docs -> deduplicated, filtered corpus. ``kept`` carries the
     annotation columns plus ``content_hash``/``dup_count`` from exact
-    dedup. ``stats`` records per-stage surviving counts when
+    dedup (and ``domain`` when ``domain_cap`` is set).
+    ``repetition_thresholds`` turns on the Gopher repetition gate
+    (signal <= threshold keeps; see functions/text_analysis.py);
+    ``domain_cap`` keeps at most that many docs per host (``approx``
+    strategy = skew-immune expectation cap, ``exact`` = windowed). ``stats`` records per-stage surviving counts when
     ``collect_stats=True`` — four extra distributed counts per run, so
     the throughput path defaults them OFF (checkpointed runs get the
     same numbers for free from the lineage log; ad-hoc diagnostics can
     opt in)."""
     sig = input_sig or f"docs|{docs.schema.simpleString()}"
+    rep_sig = (
+        sorted(repetition_thresholds.items())
+        if repetition_thresholds is not None
+        else None
+    )
     conf = (
         f"{lang_allow}|{min_quality}|{min_tokens}|{near_dup}|{n_hashes}"
         f"|{bands}|{shingle_size}|{jaccard_threshold}"
+        f"|{rep_sig}|{domain_cap}|{domain_cap_strategy}"
     )
     cat = (
         CheckpointCatalog(spark, checkpoint_dir) if checkpoint_dir else None
@@ -105,6 +120,26 @@ def run_corpus_pipeline(
     if min_tokens is not None:
         cond = cond & (F.col("n_tokens") >= int(min_tokens))
     filtered = ann.filter(cond)
+    if repetition_thresholds is not None:
+        # Gopher repetition gate rides the same scan: one extra Arrow
+        # projection, still zero shuffle. Pass
+        # TA.GOPHER_REPETITION_THRESHOLDS for the full published set.
+        filtered = TA.gopher_repetition_filter(
+            filtered, text_col=text_col, thresholds=repetition_thresholds
+        )
+    if domain_cap is not None:
+        # host capping BEFORE dedup: the dominated-host pathology is
+        # exactly where LSH buckets and CC components blow up, so cut it
+        # first. "approx" (default) is the skew-immune form — see
+        # operators/domain.py.
+        from ..operators.domain import cap_per_domain
+
+        filtered = cap_per_domain(
+            filtered,
+            cap=domain_cap,
+            url_col=url_col,
+            strategy=domain_cap_strategy,
+        )
     if cat:
         filtered = cat.stage(
             "corpus_filtered", f"{sig}|{conf}", lambda: filtered

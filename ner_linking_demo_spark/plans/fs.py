@@ -86,6 +86,10 @@ class LocalFS:
         footers) instead of Spark jobs."""
         return path
 
+    def mod_time(self, path: str) -> int:
+        """Last-modification time of ``path`` in epoch millis."""
+        return int(os.path.getmtime(path) * 1000)
+
     # lineage log: single append-only file (POSIX append is fine locally)
     def append_line(self, path: str, line: str) -> None:
         with open(path, "a") as f:
@@ -164,6 +168,12 @@ class HadoopFS:
         if self.scheme == "file":
             return path[len("file://"):]
         return None
+
+    def mod_time(self, path: str) -> int:
+        """Last-modification time of ``path`` in epoch millis."""
+        return int(
+            self._fs.getFileStatus(self._Path(path)).getModificationTime()
+        )
 
     # lineage log: append is unsupported on object stores, so each row is
     # its own immutable file under <path>.d/, named for stable ordering
@@ -364,6 +374,58 @@ class BatchLayout:
                 self.fs.delete(self._dir(p))
                 removed.append(p)
         return removed
+
+    def expire_before(self, ts_ms: int) -> list[str]:
+        """Age-based retention: expire every batch whose published
+        directory is older than ``ts_ms`` (epoch millis), via
+        :meth:`expire_upto`.
+
+        The horizon is derived CONSERVATIVELY as the largest numeric id
+        N such that every published numeric batch <= N is older than
+        ``ts_ms`` (a prefix rule): batch ids are monotone in publish
+        time for streaming appends, but a replayed publish refreshes an
+        old batch's mtime — the prefix rule then protects that batch AND
+        everything newer instead of punching a hole retention can't
+        express. The newest batch is never expired (expire_upto's
+        exactly-once rule), so the horizon is additionally clamped below
+        it. Returns the removed partition names ([] when nothing is old
+        enough).
+
+        Directory mtime is the publish rename time — on HDFS and local
+        filesystems that is stable metadata; object stores emulate
+        rename with copy (mtime = copy time), which still measures
+        age-since-publish. A compacted ``__c<k>`` partition's mtime is
+        the COMPACTION time, not its data's age, so the horizon is
+        derived from numeric partitions only; expire_upto's existing
+        rules then govern whether a ``__c`` fold can expire whole."""
+        numeric = sorted(int(p) for p in self._partitions() if p.isdigit())
+        if not numeric:
+            return []
+        horizon = None
+        for b in numeric[:-1]:  # newest batch is never expirable
+            if self.fs.mod_time(self._dir(b)) < ts_ms:
+                horizon = b
+            else:
+                break
+        c_upto = self.compacted_upto()
+        if (
+            horizon is None
+            and c_upto is not None
+            and self.fs.mod_time(self._dir(f"__c{c_upto}")) < ts_ms
+        ):
+            # no numeric batch aged out, but the consolidated fold did —
+            # its mtime is the compaction time, strictly newer than any
+            # data it holds, so expiring it whole is age-safe
+            horizon = c_upto
+        if horizon is None:
+            return []
+        c_upto = self.compacted_upto()
+        if c_upto is not None and c_upto > horizon:
+            # the fold mixes live and expired data; expire_upto would
+            # refuse — age-based retention just waits for the whole fold
+            # to age out (expire-then-compact keeps this rare)
+            return []
+        return self.expire_upto(horizon)
 
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         from pyspark.sql import functions as F

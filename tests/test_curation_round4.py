@@ -1,0 +1,311 @@
+"""Round-4 curation extensions: Gopher repetition signals and per-domain
+capping. Oracles are independent python recomputations (the in-repo
+precedent for SQL-awkward per-doc text ops), plus hypothesis bounds.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from ner_linking_demo_spark.functions.text_analysis import (
+    GOPHER_REPETITION_THRESHOLDS,
+    gopher_repetition_filter,
+    repetition_signals_udf,
+)
+from ner_linking_demo_spark.operators.domain import (
+    cap_per_domain,
+    domain_stats,
+    extract_domain,
+)
+
+
+def _signals_of(spark, texts, top_ns=(2, 3, 4), dup_ns=(5,)):
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    udf = repetition_signals_udf(top_ns=top_ns, dup_ns=dup_ns)
+    rows = (
+        df.withColumn("s", udf(F.col("text")))
+        .select("text", "s.*")
+        .collect()
+    )
+    return {r["text"]: r.asDict() for r in rows}
+
+
+# ---------------------------------------------------------------- repetition
+
+
+def test_dup_line_frac_hand_computed(spark):
+    # 4 non-empty lines, "aa" twice -> dup_line_frac = 2/4;
+    # line chars: aa(2)*2 + bbb(3) + cccc(4) = 11, dup chars = 4
+    t = "aa\nbbb\n\naa\ncccc"
+    s = _signals_of(spark, [t])[t]
+    assert s["dup_line_frac"] == pytest.approx(0.5)
+    assert s["dup_line_char_frac"] == pytest.approx(4 / 11)
+
+
+def test_no_newlines_means_zero_line_signals(spark):
+    t = "alpha beta gamma"
+    s = _signals_of(spark, [t])[t]
+    assert s["dup_line_frac"] == 0.0
+    assert s["dup_line_char_frac"] == 0.0
+
+
+def test_top_ngram_char_frac_hand_computed(spark):
+    # "a b a b a b": 2-grams = [a b, b a, a b, b a, a b] -> top "a b" x3,
+    # gram char len = 3, total chars = 11
+    t = "a b a b a b"
+    s = _signals_of(spark, [t])[t]
+    assert s["top_2gram_char_frac"] == pytest.approx(3 * 3 / 11)
+
+
+def test_dup_ngram_cover_counts_overlaps_once(spark):
+    # "x y z x y z x y z" (17 chars): every 5-gram occurs... the two
+    # 5-grams "x y z x y" and "y z x y z" each occur twice; their
+    # occurrences cover the WHOLE string -> cover = 1.0 (not >1 despite
+    # overlapping spans)
+    t = "x y z x y z x y z"
+    s = _signals_of(spark, [t], dup_ns=(5,))[t]
+    assert s["dup_5gram_char_frac"] == pytest.approx(1.0)
+
+
+def test_all_unique_tokens_have_zero_dup_signals(spark):
+    t = " ".join(f"w{i}" for i in range(30))
+    s = _signals_of(spark, [t], dup_ns=(5,))[t]
+    assert s["dup_5gram_char_frac"] == 0.0
+    # top 2-gram occurs once -> not repetition -> 0 by the count>1 guard
+    assert s["top_2gram_char_frac"] == 0.0
+
+
+def test_short_docs_and_nulls_are_safe(spark):
+    df = spark.createDataFrame(
+        [("a",), ("",), (None,)], "text string"
+    )
+    udf = repetition_signals_udf(top_ns=(2,), dup_ns=(5,))
+    rows = df.withColumn("s", udf(F.col("text"))).select("s.*").collect()
+    for r in rows:
+        for v in r.asDict().values():
+            assert v == 0.0
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    st.lists(
+        st.sampled_from(["aa", "bb", "cc", "dd"]), min_size=1, max_size=40
+    )
+)
+def test_signal_bounds_property(toks):
+    # pure-python path: recompute via the udf's inner function by
+    # constructing the udf and applying its logic through pandas is
+    # heavyweight per example; instead assert the python oracle the
+    # spark tests compare against stays in [0, 1]
+    text = " ".join(toks)
+    grams = Counter(
+        tuple(toks[i : i + 2]) for i in range(max(len(toks) - 1, 0))
+    )
+    if grams:
+        gram, cnt = max(grams.items(), key=lambda kv: (kv[1], kv[0]))
+        frac = cnt * (sum(len(t) for t in gram) + 1) / max(len(text), 1)
+        # top-gram frac is an over-count that may exceed 1.0 when the
+        # top gram overlaps itself (see the udf docstring); it is still
+        # non-negative and bounded by count*len/total's algebraic cap
+        assert 0.0 <= frac <= 2.0
+
+
+def test_spark_matches_python_oracle_on_fixture_docs(spark):
+    # independent Counter-based recomputation on word-salad + crafted docs
+    texts = [
+        "the cat sat on the mat the cat sat on the mat",
+        "one two three four five six seven eight nine ten",
+        "spam spam spam spam spam spam spam spam",
+        "a b c d e f g h i j a b c d e",
+    ]
+    got = _signals_of(spark, texts, top_ns=(2, 3), dup_ns=(5,))
+    for t in texts:
+        toks = t.split()
+        for n in (2, 3):
+            grams = Counter(
+                tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+            )
+            gram, cnt = max(grams.items(), key=lambda kv: (kv[1], kv[0]))
+            want = (
+                cnt * (sum(len(x) for x in gram) + n - 1) / len(t)
+                if cnt > 1
+                else 0.0
+            )
+            assert got[t][f"top_{n}gram_char_frac"] == pytest.approx(
+                want
+            ), (t, n)
+        # dup-5 cover oracle: mark token char spans of grams with count>1
+        grams5 = Counter(
+            tuple(toks[i : i + 5]) for i in range(len(toks) - 4)
+        )
+        spans = []
+        pos = 0
+        for tok in toks:
+            start = t.index(tok, pos)
+            spans.append((start, start + len(tok)))
+            pos = start + len(tok)
+        covered = set()
+        for i in range(len(toks) - 4):
+            if grams5[tuple(toks[i : i + 5])] > 1:
+                covered.update(range(spans[i][0], spans[i + 4][1]))
+        assert got[t]["dup_5gram_char_frac"] == pytest.approx(
+            len(covered) / len(t)
+        ), t
+
+
+def test_gopher_filter_drops_spammy_keeps_clean(spark):
+    clean = (
+        "the quick brown fox jumps over a lazy dog while many other "
+        "animals watch from the nearby forest edge with great interest"
+    )
+    spammy = "buy now " * 40
+    df = spark.createDataFrame([(1, clean), (2, spammy)], "id long, text string")
+    kept = gopher_repetition_filter(df)
+    assert [r["id"] for r in kept.collect()] == [1]
+
+
+def test_gopher_filter_threshold_subset_and_keep_signals(spark):
+    df = spark.createDataFrame(
+        [(1, "x y " * 30), (2, "a b c d e f g h")], "id long, text string"
+    )
+    kept = gopher_repetition_filter(
+        df, thresholds={"top_2gram_char_frac": 0.2}, keep_signals=True
+    )
+    rows = kept.collect()
+    assert [r["id"] for r in rows] == [2]
+    assert "repetition" in kept.columns
+    with pytest.raises(ValueError):
+        gopher_repetition_filter(df, thresholds={"bogus": 0.1})
+
+
+def test_gopher_thresholds_cover_all_signal_fields():
+    udf_fields = ["dup_line_frac", "dup_line_char_frac"]
+    udf_fields += [f"top_{n}gram_char_frac" for n in (2, 3, 4)]
+    udf_fields += [f"dup_{n}gram_char_frac" for n in (5, 6, 7, 8, 9, 10)]
+    assert set(GOPHER_REPETITION_THRESHOLDS) == set(udf_fields)
+
+
+# ---------------------------------------------------------------- domain cap
+
+
+def _url_fixture(spark):
+    rows = []
+    for i in range(40):
+        rows.append((f"https://big.example.com/page{i}", i))
+    for i in range(3):
+        rows.append((f"https://www.small.org/p{i}", 100 + i))
+    rows.append(("not a url", 999))
+    return spark.createDataFrame(rows, "url string, doc_id long")
+
+
+def test_extract_domain(spark):
+    df = spark.createDataFrame(
+        [
+            ("https://www.Example.COM/x?q=1",),
+            ("http://sub.host.net:8080/path",),
+            ("ftp://files.example.org/a",),
+            ("garbage",),
+        ],
+        "url string",
+    )
+    got = [r[0] for r in df.select(extract_domain(F.col("url"))).collect()]
+    assert got == ["example.com", "sub.host.net", "files.example.org", ""]
+
+
+def test_cap_exact_keeps_cap_per_domain_deterministically(spark):
+    df = _url_fixture(spark)
+    capped = cap_per_domain(df, cap=5, strategy="exact")
+    by_domain = (
+        capped.groupBy("domain").count().rdd.collectAsMap()
+    )
+    assert by_domain["big.example.com"] == 5
+    assert by_domain["small.org"] == 3  # under cap: untouched
+    assert by_domain[""] == 1
+    # deterministic: same rows across runs
+    again = cap_per_domain(df, cap=5, strategy="exact")
+    assert sorted(r["url"] for r in capped.collect()) == sorted(
+        r["url"] for r in again.collect()
+    )
+
+
+def test_cap_approx_under_cap_domains_untouched_over_cap_reduced(spark):
+    df = _url_fixture(spark)
+    capped = cap_per_domain(df, cap=5, strategy="approx")
+    by_domain = capped.groupBy("domain").count().rdd.collectAsMap()
+    assert by_domain["small.org"] == 3
+    assert by_domain[""] == 1
+    # expectation is 5 of 40; assert the reduction happened and is sane
+    assert 1 <= by_domain["big.example.com"] <= 15
+    # deterministic for fixed input
+    again = cap_per_domain(df, cap=5, strategy="approx")
+    assert sorted(r["url"] for r in capped.collect()) == sorted(
+        r["url"] for r in again.collect()
+    )
+
+
+def test_cap_validates_args(spark):
+    df = _url_fixture(spark)
+    with pytest.raises(ValueError):
+        cap_per_domain(df, cap=0)
+    with pytest.raises(ValueError):
+        cap_per_domain(df, cap=5, strategy="nope")
+
+
+def test_corpus_pipeline_with_repetition_and_domain_cap(spark):
+    from ner_linking_demo_spark.plans.corpus_pipeline import (
+        run_corpus_pipeline,
+    )
+
+    rows = []
+    # 20 clean unique docs on one host (over a cap of 5)
+    for i in range(20):
+        rows.append(
+            (
+                i,
+                f"https://hot.example.com/{i}",
+                f"unique document number {i} with plenty of distinct "
+                f"words alpha{i} beta{i} gamma{i} delta{i}",
+            )
+        )
+    # 2 clean docs elsewhere (under cap)
+    rows.append((100, "https://cold.org/a", "quiet page with original text one"))
+    rows.append((101, "https://cold.org/b", "another quiet page entirely new"))
+    # 1 spammy doc on cold.org — must be dropped by the repetition gate
+    rows.append((102, "https://cold.org/spam", "win money now " * 30))
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, text string"
+    )
+    res = run_corpus_pipeline(
+        spark,
+        docs,
+        near_dup=False,
+        repetition_thresholds=GOPHER_REPETITION_THRESHOLDS,
+        domain_cap=5,
+        domain_cap_strategy="exact",
+    )
+    kept = res.kept.collect()
+    ids = {r["doc_id"] for r in kept}
+    assert 102 not in ids  # repetition gate
+    assert {100, 101} <= ids  # under-cap host untouched
+    hot = [r for r in kept if r["domain"] == "hot.example.com"]
+    assert len(hot) == 5  # exact cap
+    assert "domain" in res.kept.columns
+
+
+def test_domain_stats(spark):
+    df = _url_fixture(spark).withColumn(
+        "text", F.concat(F.lit("body of "), F.col("url"))
+    )
+    stats = domain_stats(df).collect()
+    assert stats[0]["domain"] == "big.example.com"
+    assert stats[0]["n_docs"] == 40
+    assert stats[0]["total_chars"] > 0
+    top1 = domain_stats(df, top_k=1).collect()
+    assert len(top1) == 1
+    no_text = domain_stats(df.drop("text")).columns
+    assert "total_chars" not in no_text

@@ -454,3 +454,45 @@ def test_cli_resignature_migration(spark, tmp_path):
         n_hashes=32, bands=8,
     )
     assert {(r["doc_id"], r["dup_of"]) for r in m.collect()} >= {(9, 1)}
+
+
+def test_cli_expire_older_than_days(spark, tmp_path):
+    """Age-based retention from the CLI maintenance surface, plus the
+    horizon-flag validation rules."""
+    import os
+    import time
+
+    from ner_linking_demo_spark import __main__ as CLI
+    from ner_linking_demo_spark.plans.fs import BatchLayout
+
+    lay_dir = str(tmp_path / "agelay")
+    lay = BatchLayout(spark, lay_dir)
+    for b in range(3):
+        lay.publish(spark.range(b * 5, b * 5 + 5).toDF("id"), b)
+    old = time.time() - 10 * 86400
+    os.utime(lay.path(0), (old, old))
+    os.utime(lay.path(1), (old, old))
+
+    CLI.main(
+        ["--maintain", "expire", "--batch-layout", lay_dir,
+         "--expire-older-than-days", "5"],
+        stop_session=False,
+    )
+    assert sorted(
+        d for d in os.listdir(lay_dir) if d.startswith("batch_id=")
+    ) == ["batch_id=2"]
+
+    # exactly one horizon flag
+    with pytest.raises(SystemExit):
+        CLI.main(
+            ["--maintain", "expire", "--batch-layout", lay_dir,
+             "--expire-upto", "1", "--expire-older-than-days", "5"],
+            stop_session=False,
+        )
+    # age flag is batch-layout-only
+    with pytest.raises(SystemExit):
+        CLI.main(
+            ["--maintain", "expire", "--checkpoint", str(tmp_path / "c"),
+             "--expire-older-than-days", "5"],
+            stop_session=False,
+        )

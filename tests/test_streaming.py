@@ -408,3 +408,120 @@ def test_expire_protects_newest_batch_and_replays_noop(spark, tmp_path):
     assert {r["id"] for r in lay.read().select("id").collect()} == set(
         range(10, 15)
     )
+
+
+def test_expire_before_age_horizon(spark, tmp_path):
+    """Age-based retention derives the id horizon from directory mtimes
+    with a conservative prefix rule, never touches the newest batch, and
+    no-ops when nothing is old enough."""
+    import os
+    import time
+
+    from ner_linking_demo_spark.plans.fs import BatchLayout
+
+    lay = BatchLayout(spark, str(tmp_path / "age"))
+    for b in range(3):
+        lay.publish(spark.range(b * 5, b * 5 + 5).toDF("id"), b)
+
+    now = time.time()
+    old = now - 10 * 86400
+    cutoff_ms = int((now - 5 * 86400) * 1000)
+
+    # nothing old enough -> no-op
+    assert lay.expire_before(cutoff_ms) == []
+
+    # batches 0 and 1 aged out, newest recent -> prefix horizon = 1
+    os.utime(lay.path(0), (old, old))
+    os.utime(lay.path(1), (old, old))
+    removed = lay.expire_before(cutoff_ms)
+    assert removed == ["0", "1"]
+    assert lay.expired_upto() == 1
+    assert lay.expire_before(cutoff_ms) == []  # idempotent
+    assert {r["id"] for r in lay.read().select("id").collect()} == set(
+        range(10, 15)
+    )
+
+
+def test_expire_before_prefix_rule_protects_refreshed_batch(spark, tmp_path):
+    """A replayed (mtime-refreshed) old batch blocks the horizon for
+    itself AND everything newer — retention never punches holes."""
+    import os
+    import time
+
+    from ner_linking_demo_spark.plans.fs import BatchLayout
+
+    lay = BatchLayout(spark, str(tmp_path / "age2"))
+    for b in range(4):
+        lay.publish(spark.range(b, b + 1).toDF("id"), b)
+    now = time.time()
+    old = now - 10 * 86400
+    # batch 0 recent (refreshed by a replay), batches 1,2 ancient
+    os.utime(lay.path(1), (old, old))
+    os.utime(lay.path(2), (old, old))
+    assert lay.expire_before(int((now - 5 * 86400) * 1000)) == []
+
+
+def test_expire_before_never_touches_newest_even_if_old(spark, tmp_path):
+    import os
+    import time
+
+    from ner_linking_demo_spark.plans.fs import BatchLayout
+
+    lay = BatchLayout(spark, str(tmp_path / "age3"))
+    for b in range(2):
+        lay.publish(spark.range(b, b + 1).toDF("id"), b)
+    now = time.time()
+    old = now - 10 * 86400
+    os.utime(lay.path(0), (old, old))
+    os.utime(lay.path(1), (old, old))
+    assert lay.expire_before(int(now * 1000)) == ["0"]
+    assert lay.has_batch(1)
+
+
+def test_expire_before_aged_compaction_fold(spark, tmp_path):
+    """A consolidated __c<k> partition expires whole once ITS mtime (the
+    compaction time, strictly newer than its data) ages out; while it is
+    fresh it blocks age expiry of the batches it covers."""
+    import os
+    import time
+
+    from ner_linking_demo_spark.plans.fs import BatchLayout
+
+    lay = BatchLayout(spark, str(tmp_path / "age4"))
+    for b in range(4):
+        lay.publish(spark.range(b, b + 1).toDF("id"), b)
+    upto = lay.compact()
+    assert upto == 2  # batches 0..2 folded into __c2, batch 3 live
+
+    now = time.time()
+    cutoff_ms = int((now - 5 * 86400) * 1000)
+    # fold is fresh -> nothing expires
+    assert lay.expire_before(cutoff_ms) == []
+
+    old = now - 10 * 86400
+    os.utime(lay.path("__c2"), (old, old))
+    assert lay.expire_before(cutoff_ms) == ["__c2"]
+    assert lay.expired_upto() == 2
+    assert {r["id"] for r in lay.read().select("id").collect()} == {3}
+
+
+def test_signature_store_expire_before_delegates(spark, tmp_path):
+    import os
+    import time
+
+    from ner_linking_demo_spark.operators.incremental_dedup import (
+        SignatureStore,
+        incremental_neardup,
+    )
+
+    store = SignatureStore(spark, str(tmp_path / "sstore"))
+    docs = spark.createDataFrame(
+        [(i, f"doc number {i} has words w{i} x{i} y{i} z{i}") for i in range(6)],
+        "doc_id long, text string",
+    )
+    incremental_neardup(docs.filter("doc_id < 3"), store, batch_id=0)
+    incremental_neardup(docs.filter("doc_id >= 3"), store, batch_id=1)
+    now = time.time()
+    old = now - 10 * 86400
+    os.utime(store._layout.path(0), (old, old))
+    assert store.expire_before(int((now - 86400) * 1000)) == ["0"]

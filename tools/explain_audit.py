@@ -307,6 +307,38 @@ def main() -> int:
             "ArrowEvalPython" in p and "BroadcastHashJoin" in p,
         )
 
+    # Gopher repetition gate: one Arrow projection riding the scan —
+    # zero Exchange (the gate must not add a stage at 100 TB)
+    from ner_linking_demo_spark.functions.text_analysis import (
+        gopher_repetition_filter,
+    )
+
+    p = plan_of(gopher_repetition_filter(docs))
+    failures += not check(
+        "repetition gate: zero exchange, one Arrow projection",
+        nodes(p, "Exchange") == 0 and "ArrowEvalPython" in p,
+    )
+
+    # per-domain cap (approx strategy — the scale path): the over-cap
+    # domain set is broadcast and there is NO window (no per-domain sort
+    # concentration on a hot host)
+    from ner_linking_demo_spark.operators.domain import cap_per_domain
+
+    with_urls = docs.withColumn(
+        "url",
+        F.concat(
+            F.lit("https://h"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".com/"),
+            F.col("doc_id").cast("string"),
+        ),
+    )
+    p = plan_of(cap_per_domain(with_urls, cap=10, strategy="approx"))
+    failures += not check(
+        "domain cap approx: broadcast over-cap set, no window",
+        "BroadcastHashJoin" in p and "Window" not in p,
+    )
+
     print(f"\n{failures} failures")
     spark.stop()
     return 1 if failures else 0
