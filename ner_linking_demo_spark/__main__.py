@@ -164,6 +164,14 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
                 "--expire-older-than-days applies to --batch-layout "
                 "expiry only"
             )
+        if (
+            args.expire_older_than_days is not None
+            and args.expire_older_than_days <= 0
+        ):
+            # a negative horizon puts the cutoff in the FUTURE — one
+            # typo away from deleting the whole history in a single
+            # maintenance run
+            ap.error("--expire-older-than-days must be > 0")
         if args.expire_upto is not None and not args.batch_layout:
             # checkpoint expiry is keep-last-N snapshot retention, a
             # different semantic — silently ignoring the horizon flag

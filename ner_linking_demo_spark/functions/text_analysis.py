@@ -228,16 +228,20 @@ def repetition_signals_udf(
             if len(toks) < n:
                 out.append(0.0)
                 continue
-            grams = Counter(
+            # build each position's gram ONCE (reused for count + cover)
+            # and mark spans with C-speed slice assignment — the worst
+            # case is exactly the degenerate spam this filter targets,
+            # so the per-position python work must stay O(1)-ish
+            grams_at = [
                 tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
-            )
+            ]
+            grams = Counter(grams_at)
             covered = bytearray(len(text))
-            for i in range(len(toks) - n + 1):
-                if grams[tuple(toks[i : i + n])] > 1:
+            for i, g in enumerate(grams_at):
+                if grams[g] > 1:
                     lo = spans[i][0]
                     hi = spans[i + n - 1][1]
-                    for j in range(lo, hi):
-                        covered[j] = 1
+                    covered[lo:hi] = b"\x01" * (hi - lo)
             out.append(sum(covered) / total_chars)
         return tuple(out)
 

@@ -33,8 +33,17 @@ from pyspark.sql import functions as F
 
 def extract_domain(url) -> F.Column:
     """Lowercased host with a leading ``www.`` stripped; '' for urls with
-    no ``scheme://host`` shape. Pure Catalyst (regexp on the scan)."""
-    host = F.lower(F.regexp_extract(url, r"^[A-Za-z][A-Za-z0-9+.-]*://([^/:?#]+)", 1))
+    no ``scheme://host`` shape. Userinfo (``user[:pass]@``) is skipped so
+    ``https://token@spam.example.com/p`` attributes to the real host
+    instead of minting a fresh pseudo-domain per token. Pure Catalyst
+    (regexp on the scan)."""
+    host = F.lower(
+        F.regexp_extract(
+            url,
+            r"^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)",
+            1,
+        )
+    )
     return F.regexp_replace(host, r"^www\.", "")
 
 
@@ -44,13 +53,25 @@ def cap_per_domain(
     url_col: str = "url",
     strategy: str = "exact",
     domain_col: str | None = None,
+    tiebreak_col: str | None = None,
 ) -> DataFrame:
     """Keep at most ``cap`` documents per registered host (exact) or
     ~``cap`` in expectation (approx — see module docstring for the skew
     rationale). Output carries the input columns plus ``domain``.
 
+    Rows whose domain cannot be established (NULL or unparseable url)
+    are EXEMPT from capping in both strategies: capping is a per-host
+    rule, and unattributable docs have no host — dropping them under a
+    shared pseudo-domain would discard unrelated content by accident
+    (content floods among them are the dedup stage's job). Both
+    strategies agree on this, so swapping strategy never changes which
+    population is subject to the cap.
+
     ``domain_col`` reuses an existing domain column instead of deriving
-    one from ``url_col``.
+    one from ``url_col``. ``tiebreak_col`` (e.g. a doc id) extends the
+    exact strategy's ordering key — REQUIRED for determinism when the
+    same url can appear on multiple rows (re-crawls before exact dedup);
+    with unique urls the (md5(url), url) key is already total.
     """
     if cap < 1:
         raise ValueError("cap must be >= 1")
@@ -60,18 +81,20 @@ def cap_per_domain(
         d = docs.withColumn("domain", extract_domain(F.col(url_col)))
     else:
         d = docs.withColumn("domain", F.col(domain_col))
+    capped = F.col("domain").isNotNull() & (F.col("domain") != "")
 
     if strategy == "exact":
-        w = Window.partitionBy("domain").orderBy(
-            F.md5(F.col(url_col)), F.col(url_col)
-        )
+        order = [F.md5(F.col(url_col)), F.col(url_col)]
+        if tiebreak_col is not None:
+            order.append(F.col(tiebreak_col))
+        w = Window.partitionBy("domain").orderBy(*order)
         return (
             d.withColumn("_rk", F.row_number().over(w))
-            .filter(F.col("_rk") <= cap)
+            .filter(~capped | (F.col("_rk") <= cap))
             .drop("_rk")
         )
 
-    counts = d.groupBy("domain").agg(F.count("*").alias("_n"))
+    counts = d.filter(capped).groupBy("domain").agg(F.count("*").alias("_n"))
     over = counts.filter(F.col("_n") > cap)
     joined = d.join(F.broadcast(over), "domain", "left")
     return joined.filter(

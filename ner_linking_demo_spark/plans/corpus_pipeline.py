@@ -2,7 +2,7 @@
 LLM-data operators exist for —
 
     docs --(annotate: lang/quality/tokens/fingerprint)-->
-         --(filter [+ Gopher repetition gate] [+ per-domain cap])-->
+         --(filter [+ per-domain cap] [+ Gopher repetition gate])-->
          --(exact dedup)--> --(near-dup cluster + keep
          one representative per cluster)--> kept corpus
 
@@ -102,7 +102,7 @@ def run_corpus_pipeline(
     conf = (
         f"{lang_allow}|{min_quality}|{min_tokens}|{near_dup}|{n_hashes}"
         f"|{bands}|{shingle_size}|{jaccard_threshold}"
-        f"|{rep_sig}|{domain_cap}|{domain_cap_strategy}"
+        f"|{rep_sig}|{domain_cap}|{domain_cap_strategy}|{url_col}"
     )
     cat = (
         CheckpointCatalog(spark, checkpoint_dir) if checkpoint_dir else None
@@ -120,17 +120,17 @@ def run_corpus_pipeline(
     if min_tokens is not None:
         cond = cond & (F.col("n_tokens") >= int(min_tokens))
     filtered = ann.filter(cond)
-    if repetition_thresholds is not None:
-        # Gopher repetition gate rides the same scan: one extra Arrow
-        # projection, still zero shuffle. Pass
-        # TA.GOPHER_REPETITION_THRESHOLDS for the full published set.
-        filtered = TA.gopher_repetition_filter(
-            filtered, text_col=text_col, thresholds=repetition_thresholds
-        )
     if domain_cap is not None:
-        # host capping BEFORE dedup: the dominated-host pathology is
-        # exactly where LSH buckets and CC components blow up, so cut it
-        # first. "approx" (default) is the skew-immune form — see
+        # host capping BEFORE the repetition gate and dedup: (a) the
+        # dominated-host pathology is exactly where LSH buckets and CC
+        # components blow up, so cut it first; (b) the cap's input here
+        # is still a pure codegen projection, so the approx strategy's
+        # two consumers (counts + join) re-scan cheap expressions —
+        # placing the cap after the gate would evaluate the Arrow
+        # repetition UDF twice over the full corpus. The trade: the cap
+        # counts docs BEFORE the repetition gate, so a host whose capped
+        # sample is partly spam ends under cap — acceptable for a
+        # sampling cap. "approx" (default) is the skew-immune form — see
         # operators/domain.py.
         from ..operators.domain import cap_per_domain
 
@@ -139,6 +139,14 @@ def run_corpus_pipeline(
             cap=domain_cap,
             url_col=url_col,
             strategy=domain_cap_strategy,
+            tiebreak_col=id_col,
+        )
+    if repetition_thresholds is not None:
+        # Gopher repetition gate rides the same scan: one extra Arrow
+        # projection, still zero shuffle. Pass
+        # TA.GOPHER_REPETITION_THRESHOLDS for the full published set.
+        filtered = TA.gopher_repetition_filter(
+            filtered, text_col=text_col, thresholds=repetition_thresholds
         )
     if cat:
         filtered = cat.stage(

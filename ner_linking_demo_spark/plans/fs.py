@@ -392,40 +392,63 @@ class BatchLayout:
         enough).
 
         Directory mtime is the publish rename time — on HDFS and local
-        filesystems that is stable metadata; object stores emulate
-        rename with copy (mtime = copy time), which still measures
-        age-since-publish. A compacted ``__c<k>`` partition's mtime is
-        the COMPACTION time, not its data's age, so the horizon is
-        derived from numeric partitions only; expire_upto's existing
-        rules then govern whether a ``__c`` fold can expire whole."""
+        filesystems that is stable metadata. Object stores have no real
+        directories: an S3A "directory" prefix reports modification time
+        0, which naively reads as infinitely old and would mass-expire a
+        freshly-published layout. :meth:`_batch_age_ms` therefore falls
+        back to the NEWEST file mtime inside the partition when the
+        directory itself reports no age, and a partition whose age
+        cannot be established at all is treated as NOT expirable (the
+        conservative direction for a deletion). A compacted ``__c<k>``
+        partition's mtime is the COMPACTION time, not its data's age, so
+        the horizon is derived from numeric partitions only;
+        expire_upto's existing rules then govern whether a ``__c`` fold
+        can expire whole."""
         numeric = sorted(int(p) for p in self._partitions() if p.isdigit())
         if not numeric:
             return []
         horizon = None
         for b in numeric[:-1]:  # newest batch is never expirable
-            if self.fs.mod_time(self._dir(b)) < ts_ms:
+            age = self._batch_age_ms(str(b))
+            if age is not None and age < ts_ms:
                 horizon = b
             else:
                 break
         c_upto = self.compacted_upto()
-        if (
-            horizon is None
-            and c_upto is not None
-            and self.fs.mod_time(self._dir(f"__c{c_upto}")) < ts_ms
-        ):
+        if horizon is None:
+            if c_upto is None:
+                return []
+            age = self._batch_age_ms(f"__c{c_upto}")
+            if age is None or age >= ts_ms:
+                return []
             # no numeric batch aged out, but the consolidated fold did —
             # its mtime is the compaction time, strictly newer than any
             # data it holds, so expiring it whole is age-safe
             horizon = c_upto
-        if horizon is None:
-            return []
-        c_upto = self.compacted_upto()
         if c_upto is not None and c_upto > horizon:
             # the fold mixes live and expired data; expire_upto would
             # refuse — age-based retention just waits for the whole fold
             # to age out (expire-then-compact keeps this rare)
             return []
         return self.expire_upto(horizon)
+
+    def _batch_age_ms(self, partition: str) -> int | None:
+        """Publish time of one ``batch_id=<partition>`` directory in
+        epoch millis, or None when no age can be established. Directory
+        mtime when the filesystem records one (> 0); otherwise the
+        newest file mtime inside the partition (object-store prefixes
+        report mtime 0 — using the newest member keeps the estimate on
+        the too-young side, which can only delay expiry, never cause a
+        premature one)."""
+        d = self._dir(partition)
+        t = self.fs.mod_time(d)
+        if t > 0:
+            return t
+        times = [
+            self.fs.mod_time(f"{d}/{n}") for n in self.fs.list_names(d)
+        ]
+        times = [t for t in times if t > 0]
+        return max(times) if times else None
 
     def compact(self, target_file_bytes: int = 128 * 1024 * 1024) -> int:
         from pyspark.sql import functions as F

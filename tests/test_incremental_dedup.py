@@ -496,3 +496,14 @@ def test_cli_expire_older_than_days(spark, tmp_path):
              "--expire-older-than-days", "5"],
             stop_session=False,
         )
+
+
+def test_cli_expire_days_rejects_nonpositive(spark, tmp_path):
+    from ner_linking_demo_spark import __main__ as CLI
+
+    with pytest.raises(SystemExit):
+        CLI.main(
+            ["--maintain", "expire", "--batch-layout", str(tmp_path / "x"),
+             "--expire-older-than-days", "-1"],
+            stop_session=False,
+        )

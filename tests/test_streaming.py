@@ -525,3 +525,69 @@ def test_signature_store_expire_before_delegates(spark, tmp_path):
     old = now - 10 * 86400
     os.utime(store._layout.path(0), (old, old))
     assert store.expire_before(int((now - 86400) * 1000)) == ["0"]
+
+
+def test_expire_before_object_store_zero_mtime_is_conservative(spark, tmp_path):
+    """An object-store 'directory' prefix reports mtime 0 — which must
+    read as age-unknown (no expiry), NEVER as infinitely old. With a
+    usable file mtime inside, the newest member's time stands in."""
+    import os
+    import time
+
+    from ner_linking_demo_spark.plans.fs import BatchLayout
+
+    lay = BatchLayout(spark, str(tmp_path / "obj"))
+    for b in range(3):
+        lay.publish(spark.range(b, b + 1).toDF("id"), b)
+
+    real_fs = lay.fs
+
+    class DirlessFS:
+        """mod_time 0 for directories (S3A prefix behavior), real for
+        files; everything else delegates."""
+
+        def __getattr__(self, name):
+            return getattr(real_fs, name)
+
+        def mod_time(self, path):
+            return 0 if os.path.isdir(path) else real_fs.mod_time(path)
+
+    lay.fs = DirlessFS()
+    now = time.time()
+    cutoff_ms = int((now - 5 * 86400) * 1000)
+
+    # fresh files inside -> file-mtime fallback -> nothing expires
+    assert lay.expire_before(cutoff_ms) == []
+
+    # age the FILES of batches 0 and 1 -> fallback establishes real age
+    old = now - 10 * 86400
+    for b in (0, 1):
+        d = lay.path(b)
+        for n in os.listdir(d):
+            os.utime(os.path.join(d, n), (old, old))
+    assert lay.expire_before(cutoff_ms) == ["0", "1"]
+
+
+def test_expire_before_unknown_age_never_expires(spark, tmp_path):
+    """No directory mtime AND no file mtimes -> age unknown -> no
+    expiry (deleting on unknown age is the non-conservative direction)."""
+    import time
+
+    from ner_linking_demo_spark.plans.fs import BatchLayout
+
+    lay = BatchLayout(spark, str(tmp_path / "unk"))
+    for b in range(3):
+        lay.publish(spark.range(b, b + 1).toDF("id"), b)
+
+    real_fs = lay.fs
+
+    class NoAgeFS:
+        def __getattr__(self, name):
+            return getattr(real_fs, name)
+
+        def mod_time(self, path):
+            return 0
+
+    lay.fs = NoAgeFS()
+    assert lay.expire_before(int(time.time() * 1000)) == []
+    lay.fs = real_fs
