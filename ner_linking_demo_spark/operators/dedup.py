@@ -143,6 +143,41 @@ def minhash_signatures_df(
     )
 
 
+def shingle_sets_df(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_size: int = 3,
+) -> DataFrame:
+    """(id, sh array<string>) distinct word shingles per doc, via the
+    same Arrow-batched python loop as :func:`minhash_signatures_df` —
+    the ``word_shingles`` nested-HOF expression is interpreted (no
+    codegen) and measured ~10x slower, which matters when a verify path
+    shingles many documents."""
+    import pandas as _pd
+
+    def _sets(batches):
+        for pdf in batches:
+            out = []
+            for text in pdf["text"]:
+                toks = text.split()
+                if len(toks) >= shingle_size:
+                    grams = {
+                        " ".join(toks[j : j + shingle_size])
+                        for j in range(len(toks) - shingle_size + 1)
+                    }
+                else:
+                    grams = {" ".join(toks)}
+                out.append(list(grams))
+            yield _pd.DataFrame({"id": pdf["id"], "sh": out})
+
+    src = df.select(
+        F.col(id_col).alias("id"), F.col(text_col).alias("text")
+    )
+    id_type = dict(src.dtypes)["id"]
+    return src.mapInPandas(_sets, schema=f"id {id_type}, sh array<string>")
+
+
 def validate_minhash_params(n_hashes: int, bands: int) -> None:
     """A non-dividing band count would silently band only
     bands * (n_hashes // bands) components, discarding signature
@@ -211,7 +246,17 @@ def minhash_lsh_pairs(
     # explode, the bucket-size aggregation, or the bucket self-join. At
     # 100 TB the exploded/banded stream is `bands` rows of (id, 2 longs)
     # per doc, not `bands` copies of the page text (round-1 verdict item).
-    banded = minhash_band_buckets(sigs, n_hashes, bands).drop("sig")
+    # Lazily checkpointed: the stream has TWO consumers (the bucket-size
+    # cap and the membership join), and without a materialization each
+    # re-runs the whole shingle+signature lineage — measured as the
+    # dominant cost of this operator. The checkpointed stream is
+    # `bands` x (id, 2 longs) per doc: executor-local disk, tiny
+    # relative to the corpus at any scale.
+    banded = (
+        minhash_band_buckets(sigs, n_hashes, bands)
+        .drop("sig")
+        .localCheckpoint(eager=False)
+    )
     # Bucket-size cap via groupBy().count() (map-side partial agg), not a
     # window over exploded rows; singleton buckets are dropped here too so
     # the self-join never sees keys that cannot produce a pair.
@@ -229,14 +274,24 @@ def minhash_lsh_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
+        .localCheckpoint(eager=False)  # consumed by the id set + verify
     )
-    # Exact-Jaccard verify: re-join the shingle SETS (not raw text) by id —
-    # two id-keyed joins against a doc-count-sized side, after the pair set
-    # has already been deduplicated and bucket-capped.
-    shingles = df.select(
-        F.col(id_col).alias("id"),
-        word_shingles(F.col(text_col), shingle_size).alias("sh"),
+    # Exact-Jaccard verify on shingle SETS — but ONLY for documents that
+    # are actually members of a candidate pair (a semi-join reduction):
+    # near-dup candidates are a small fraction of any real corpus, so
+    # shingling the full corpus twice for the verify side (the previous
+    # form) paid the dominant cost of this operator for rows the joins
+    # then discarded. AQE turns the id-set join into a broadcast when
+    # the candidate set is small (the common case).
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
     )
+    shingles = shingle_sets_df(
+        df.join(pair_ids.withColumnRenamed("id", id_col), id_col, "semi"),
+        text_col=text_col, id_col=id_col, shingle_size=shingle_size,
+    ).localCheckpoint(eager=False)  # two consumers: sh_a and sh_b
     verified = (
         pairs.join(
             shingles.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")),
