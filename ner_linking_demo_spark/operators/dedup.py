@@ -458,10 +458,14 @@ def simhash_neardup_pairs(
             f"bands) or lower max_hamming so max_hamming < n_bands"
         )
     # corpus-scale signature path (codegen'd single-pass token hashing);
-    # result-identical to the simhash64 expression form (parity-tested)
+    # result-identical to the simhash64 expression form (parity-tested).
+    # Lazily checkpointed: the banded stream feeds BOTH self-join sides,
+    # and without a materialization each side re-runs the signature pass
+    # over the full corpus (same fix as minhash_lsh_pairs). (id, 1 long)
+    # per doc — executor-local disk, negligible at any scale.
     with_h = simhash_signatures_df(
         df, text_col=text_col, id_col=id_col, prefix_bits=prefix_bits
-    )
+    ).localCheckpoint(eager=False)
     banded = with_h.select(
         "id",
         "h",
@@ -512,11 +516,16 @@ def ngram_jaccard_pairs(
             lambda i: F.substring(F.col(text_col), i, n),
         )
     )
+    # lazily checkpointed: both self-join sides consume the gram arrays,
+    # and the nested-HOF gram expression is interpreted — computing it
+    # once instead of twice halves the dominant cost (the gram payload
+    # would ride the join shuffle either way; that part is inherent to
+    # the blocked design)
     base = df.select(
         F.col(id_col).alias("id"),
         (F.col(block_col) if block_col else F.lit(0)).alias("blk"),
         grams.alias("grams"),
-    )
+    ).localCheckpoint(eager=False)
     a = base.select(
         F.col("blk"), F.col("id").alias("id_a"), F.col("grams").alias("g_a")
     )
@@ -564,8 +573,13 @@ def embedding_neardup_pairs_lsh(
     # — same discipline as minhash_lsh_pairs: the vector payload never
     # rides the exploded stream (x(1+masks) duplication); it re-joins by
     # id after the pair set is deduplicated.
-    keyed = vecs.withColumn("bucket", lsh_bucket_expr(F.col("v"), planes)).select(
-        "id", "bucket"
+    # lazily checkpointed: the probe explode (a) and the plain side (b)
+    # both consume the bucket codes — one materialized (id, long) stream
+    # instead of two bucket-projection passes over the vectors
+    keyed = (
+        vecs.withColumn("bucket", lsh_bucket_expr(F.col("v"), planes))
+        .select("id", "bucket")
+        .localCheckpoint(eager=False)
     )
     masks = probe_masks(len(planes), probe_bits)
     a = keyed.select(
