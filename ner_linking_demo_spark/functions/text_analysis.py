@@ -134,6 +134,87 @@ GOPHER_REPETITION_THRESHOLDS = {
 }
 
 
+def repetition_signal_fields(
+    top_ns: tuple[int, ...], dup_ns: tuple[int, ...]
+) -> list[str]:
+    fields = ["dup_line_frac", "dup_line_char_frac"]
+    fields += [f"top_{n}gram_char_frac" for n in top_ns]
+    fields += [f"dup_{n}gram_char_frac" for n in dup_ns]
+    return fields
+
+
+def repetition_signals_py(
+    text: str,
+    top_ns: tuple[int, ...] = (2, 3, 4),
+    dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
+) -> tuple:
+    """Single-document reference implementation of the repetition
+    signals — the exact computation :func:`repetition_signals_udf`
+    vectorizes (the UDF maps this function over each Arrow batch), also
+    used to build registration-time VALUES oracles. See the UDF
+    docstring for signal definitions."""
+    from collections import Counter
+
+    out = []
+    lines = [ln for ln in text.split("\n") if ln.strip()]
+    if lines:
+        counts = Counter(lines)
+        dup_lines = sum(c for c in counts.values() if c > 1)
+        dup_chars = sum(len(ln) * c for ln, c in counts.items() if c > 1)
+        total_line_chars = sum(len(ln) for ln in lines)
+        out.append(dup_lines / len(lines))
+        out.append(dup_chars / max(total_line_chars, 1))
+    else:
+        out += [0.0, 0.0]
+
+    toks = text.split()
+    total_chars = max(len(text), 1)
+    # char span of each token in the original text (for the cover)
+    spans = []
+    pos = 0
+    for t in toks:
+        start = text.index(t, pos)
+        spans.append((start, start + len(t)))
+        pos = start + len(t)
+
+    for n in top_ns:
+        if len(toks) < n:
+            out.append(0.0)
+            continue
+        grams = Counter(
+            tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        )
+        gram, cnt = max(grams.items(), key=lambda kv: (kv[1], kv[0]))
+        if cnt < 2:
+            # a gram occurring once is not repetition: without this
+            # guard any short doc trips the threshold on its own
+            # longest 4-gram (datatrove guards identically)
+            out.append(0.0)
+            continue
+        out.append(cnt * (sum(len(t) for t in gram) + n - 1) / total_chars)
+
+    for n in dup_ns:
+        if len(toks) < n:
+            out.append(0.0)
+            continue
+        # build each position's gram ONCE (reused for count + cover)
+        # and mark spans with C-speed slice assignment — the worst
+        # case is exactly the degenerate spam this filter targets,
+        # so the per-position python work must stay O(1)-ish
+        grams_at = [
+            tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
+        ]
+        grams = Counter(grams_at)
+        covered = bytearray(len(text))
+        for i, g in enumerate(grams_at):
+            if grams[g] > 1:
+                lo = spans[i][0]
+                hi = spans[i + n - 1][1]
+                covered[lo:hi] = b"\x01" * (hi - lo)
+        out.append(sum(covered) / total_chars)
+    return tuple(out)
+
+
 def repetition_signals_udf(
     top_ns: tuple[int, ...] = (2, 3, 4),
     dup_ns: tuple[int, ...] = (5, 6, 7, 8, 9, 10),
@@ -172,83 +253,19 @@ def repetition_signals_udf(
     The word-salad test fixtures have no newlines; the line signals are
     exercised by dedicated multi-line fixtures in tests.
     """
-    from collections import Counter
-
     for n in (*top_ns, *dup_ns):
         if n < 1:
             raise ValueError("n-gram sizes must be >= 1")
 
-    fields = ["dup_line_frac", "dup_line_char_frac"]
-    fields += [f"top_{n}gram_char_frac" for n in top_ns]
-    fields += [f"dup_{n}gram_char_frac" for n in dup_ns]
+    fields = repetition_signal_fields(top_ns, dup_ns)
     schema = ", ".join(f"{f} double" for f in fields)
-
-    def _signals(text: str) -> tuple:
-        out = []
-        lines = [ln for ln in text.split("\n") if ln.strip()]
-        if lines:
-            counts = Counter(lines)
-            dup_lines = sum(c for c in counts.values() if c > 1)
-            dup_chars = sum(
-                len(ln) * c for ln, c in counts.items() if c > 1
-            )
-            total_line_chars = sum(len(ln) for ln in lines)
-            out.append(dup_lines / len(lines))
-            out.append(dup_chars / max(total_line_chars, 1))
-        else:
-            out += [0.0, 0.0]
-
-        toks = text.split()
-        total_chars = max(len(text), 1)
-        # char span of each token in the original text (for the cover)
-        spans = []
-        pos = 0
-        for t in toks:
-            start = text.index(t, pos)
-            spans.append((start, start + len(t)))
-            pos = start + len(t)
-
-        for n in top_ns:
-            if len(toks) < n:
-                out.append(0.0)
-                continue
-            grams = Counter(
-                tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
-            )
-            gram, cnt = max(grams.items(), key=lambda kv: (kv[1], kv[0]))
-            if cnt < 2:
-                # a gram occurring once is not repetition: without this
-                # guard any short doc trips the threshold on its own
-                # longest 4-gram (datatrove guards identically)
-                out.append(0.0)
-                continue
-            out.append(cnt * (sum(len(t) for t in gram) + n - 1) / total_chars)
-
-        for n in dup_ns:
-            if len(toks) < n:
-                out.append(0.0)
-                continue
-            # build each position's gram ONCE (reused for count + cover)
-            # and mark spans with C-speed slice assignment — the worst
-            # case is exactly the degenerate spam this filter targets,
-            # so the per-position python work must stay O(1)-ish
-            grams_at = [
-                tuple(toks[i : i + n]) for i in range(len(toks) - n + 1)
-            ]
-            grams = Counter(grams_at)
-            covered = bytearray(len(text))
-            for i, g in enumerate(grams_at):
-                if grams[g] > 1:
-                    lo = spans[i][0]
-                    hi = spans[i + n - 1][1]
-                    covered[lo:hi] = b"\x01" * (hi - lo)
-            out.append(sum(covered) / total_chars)
-        return tuple(out)
 
     @F.pandas_udf(schema)
     def signals(text: pd.Series) -> pd.DataFrame:
         rows = [
-            _signals(t) if t is not None else tuple(0.0 for _ in fields)
+            repetition_signals_py(t, top_ns, dup_ns)
+            if t is not None
+            else tuple(0.0 for _ in fields)
             for t in text
         ]
         return pd.DataFrame(rows, columns=fields)

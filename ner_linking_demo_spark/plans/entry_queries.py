@@ -691,6 +691,154 @@ def corpus_pipeline_kept(spark, sf_dir):
 
 
 @q(
+    "domain_cap",
+    """
+    WITH urls AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 17 = 0 THEN 'not a url'
+                  WHEN doc_id % 13 = 0 THEN
+                    'https://user:pw@h' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.example.com/p' || CAST(doc_id AS VARCHAR)
+                  ELSE 'https://www.h' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.example.com/p' || CAST(doc_id AS VARCHAR) END AS url
+      FROM documents WHERE doc_id < 500
+    ),
+    dom AS (
+      SELECT doc_id, url,
+             regexp_replace(
+               lower(regexp_extract(
+                 url,
+                 '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/@?#]*@)?([^/:?#]+)',
+                 1)),
+               '^www\\.', '') AS domain
+      FROM urls
+    ),
+    ranked AS (
+      SELECT doc_id, url, domain,
+             ROW_NUMBER() OVER (
+               PARTITION BY domain ORDER BY md5(url), url, doc_id
+             ) AS rk
+      FROM dom
+    )
+    SELECT doc_id, url, domain FROM ranked
+    WHERE domain IS NULL OR domain = '' OR rk <= 20
+    """,
+)
+def domain_cap(spark, sf_dir):
+    """Per-host capping (exact strategy), driver-oracled: synthetic urls
+    spread 500 docs over 7 hosts (with userinfo and unparseable
+    variants), cap 20 per host; unattributable rows are exempt. The
+    DuckDB oracle mirrors the full domain derivation (same RE2 regex)
+    and the (md5(url), url, doc_id) window ranking — md5 is the repo's
+    only cross-engine hash, so the kept SET matches exactly, not just
+    its size. The approx strategy (the 100 TB skew-immune form) is
+    plan-audited + pytest-verified instead: its expectation-cap keep set
+    depends on xxhash64, which DuckDB does not implement."""
+    from ..operators.domain import cap_per_domain
+
+    docs = _t(spark, sf_dir, "documents").filter("doc_id < 500")
+    url = (
+        F.when(F.col("doc_id") % 17 == 0, F.lit("not a url"))
+        .when(
+            F.col("doc_id") % 13 == 0,
+            F.concat(
+                F.lit("https://user:pw@h"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.com/p"),
+                F.col("doc_id").cast("string"),
+            ),
+        )
+        .otherwise(
+            F.concat(
+                F.lit("https://www.h"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.com/p"),
+                F.col("doc_id").cast("string"),
+            )
+        )
+    )
+    capped = cap_per_domain(
+        docs.select("doc_id", url.alias("url")),
+        cap=20,
+        strategy="exact",
+        tiebreak_col="doc_id",
+    )
+    return capped.select("doc_id", "url", "domain")
+
+
+def _repetition_signals_sql() -> str:
+    """Literal-VALUES oracle from the single-doc reference
+    implementation (repetition_signals_py — hand-computed-fixture and
+    property tested in tests/test_curation_round4.py). The driver row
+    then checks the DISTRIBUTED form: the Arrow UDF mapping that
+    reference over executor batches of formula-built texts."""
+    from ..functions.text_analysis import repetition_signals_py
+
+    rows = []
+    for i in range(240):
+        text = _repetition_fixture_text(i)
+        sig = repetition_signals_py(text, top_ns=(2, 3), dup_ns=(5,))
+        rows.append((i, *sig))
+    # CAST each literal: DuckDB types bare decimal literals as DECIMAL,
+    # which would flip the oracle schema away from Spark's doubles
+    vals = ",\n      ".join(
+        "({})".format(
+            ", ".join(
+                [str(r[0])]
+                + [f"CAST({v!r} AS DOUBLE)" for v in r[1:]]
+            )
+        )
+        for r in rows
+    )
+    return (
+        "SELECT * FROM (VALUES\n      "
+        + vals
+        + ") AS t(doc_id, dup_line_frac, dup_line_char_frac, "
+        + "top_2gram_char_frac, top_3gram_char_frac, dup_5gram_char_frac)"
+    )
+
+
+def _repetition_fixture_text(i: int) -> str:
+    """Formula text i — python twin of the Catalyst expression in the
+    repetition_signals entry (byte-identical by construction)."""
+    line1 = f"w{i % 7} x{i % 3} " * ((i % 6) + 1)
+    line2 = f"tail{i} end of doc {i % 2}"
+    line3 = line2 if i % 4 == 0 else "closing words here"
+    return f"{line1}\n{line2}\n{line3}"
+
+
+@q("repetition_signals", _repetition_signals_sql())
+def repetition_signals(spark, sf_dir):
+    from ..functions.text_analysis import repetition_signals_udf
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 240"
+    )
+    line1 = F.repeat(
+        F.concat(
+            F.lit("w"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(" x"),
+            (F.col("doc_id") % 3).cast("string"),
+            F.lit(" "),
+        ),
+        ((F.col("doc_id") % 6) + 1).cast("int"),
+    )
+    line2 = F.concat(
+        F.lit("tail"),
+        F.col("doc_id").cast("string"),
+        F.lit(" end of doc "),
+        (F.col("doc_id") % 2).cast("string"),
+    )
+    line3 = F.when(F.col("doc_id") % 4 == 0, line2).otherwise(
+        F.lit("closing words here")
+    )
+    text = F.concat(line1, F.lit("\n"), line2, F.lit("\n"), line3)
+    udf = repetition_signals_udf(top_ns=(2, 3), dup_ns=(5,))
+    return docs.withColumn("s", udf(text)).select("doc_id", "s.*")
+
+
+@q(
     "incremental_neardup_replay",
     """
     WITH b0 AS (SELECT doc_id, text FROM documents WHERE doc_id < 60),
@@ -1413,7 +1561,11 @@ def kg_detect_mentions_crf(spark, sf_dir):
     )
 
 
-@q(
+# Driver slot rotated in round 4 (second rotation): the M2 chain keeps
+# x2 driver rows via _iob/_multitype; this A5 ensemble variant stays
+# oracle-compared in pytest via RETIRED, freeing a slot for the new
+# curation operators (domain_cap / repetition_signals).
+@q_retired(
     "kg_detect_mentions_ensemble",
     _KG.iob_detect_sql(
         where="WHERE doc_id < 150", salts=("", "m2"), strategy="prod"
@@ -1968,7 +2120,11 @@ def cand_tfidf(spark, sf_dir):
     )
 
 
-@q("cand_term_avg", _KG.term_avg_sql(_HGAZ, k=3, where="WHERE doc_id < 200"))
+# Driver slot rotated in round 4 (second rotation): A9's term-avg
+# embedding evidence stays x1 driver row via a9_group_mean_embedding;
+# this candidate-generation application keeps the identical check in
+# pytest via RETIRED.
+@q_retired("cand_term_avg", _KG.term_avg_sql(_HGAZ, k=3, where="WHERE doc_id < 200"))
 def cand_term_avg(spark, sf_dir):
     from ..operators.candidates import build_generator_indexes, term_avg_candidates
     from ..operators.ner import detect_mentions

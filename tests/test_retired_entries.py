@@ -28,9 +28,11 @@ def duck():
 def test_retired_registry_holds_the_rotated_entries():
     assert sorted(q.name for q in RETIRED) == [
         "ann_bruteforce_topk",
+        "cand_term_avg",
         "dedup_minhash_signature",
         "kg_detect_mentions",
         "kg_detect_mentions_crf",
+        "kg_detect_mentions_ensemble",
     ]
     assert all(q.sql for q in RETIRED)
 
