@@ -304,6 +304,35 @@ def main() -> None:
             )
         )
 
+        # signature-store migration (round-4 session 2): re-sign a
+        # full-table history store (one batch, n_docs docs) from 16 to
+        # 32 hashes — the job a pinned-param change costs in production.
+        # A SEPARATE frozen store: the incremental bench appends a delta
+        # batch (ids outside the docs table) to _inc_store, and
+        # migration correctly refuses a store holding ids it has no text
+        # for. Each rep wipes its output root first (publish is
+        # exactly-once and refuses an existing batch dir).
+        from ner_linking_demo_spark.operators.incremental_dedup import (
+            resignature_store,
+        )
+
+        _rsig_docs = corpus_docs.select("doc_id", "text")
+        _rsig_old_root = _tf.mkdtemp(prefix="nlds_bench_rsig_old_")
+        _rsig_old = SignatureStore(spark, _rsig_old_root)
+        incremental_neardup(_rsig_docs, _rsig_old, batch_id=0)
+        _rsig_root = _tf.mkdtemp(prefix="nlds_bench_rsig_")
+        atexit.register(_sh.rmtree, _rsig_old_root, ignore_errors=True)
+        atexit.register(_sh.rmtree, _rsig_root, ignore_errors=True)
+
+        def run_resignature():
+            _sh.rmtree(_rsig_root, ignore_errors=True)
+            resignature_store(
+                spark, _rsig_docs, _rsig_old, _rsig_root,
+                n_hashes=32, bands=8, shingle_size=3,
+            )
+
+        benches.append(("resignature_store", run_resignature))
+
     # --- interleaved rounds, median per benchmark ------------------------
     samples: dict[str, list[float]] = {name: [] for name, _ in benches}
     for _ in range(rounds):
