@@ -126,6 +126,14 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     ap.add_argument("--max-tokens", type=int, default=2048,
                     help="with --curate: training-window token budget "
                     "for sequence packing (0 skips packing)")
+    ap.add_argument("--gopher-repetition", action="store_true",
+                    help="with --curate: drop docs failing any published "
+                    "Gopher repetition threshold (dup-line / top-n-gram "
+                    "/ dup-n-gram character fractions)")
+    ap.add_argument("--domain-cap", type=int, default=None,
+                    help="with --curate: keep at most ~N docs per host "
+                    "(skew-immune approximate strategy; urls with no "
+                    "parseable host are exempt)")
     args = ap.parse_args(argv)
 
     if args.maintain:
@@ -293,6 +301,14 @@ def _load_pages(spark, args):
     return spark.read.table(args.pages)
 
 
+def _gopher_thresholds() -> dict[str, float]:
+    from ner_linking_demo_spark.functions.text_analysis import (
+        GOPHER_REPETITION_THRESHOLDS,
+    )
+
+    return GOPHER_REPETITION_THRESHOLDS
+
+
 def _run_curation(args, stop_session: bool) -> None:
     """Corpus-curation mode: the training-data pipeline as a first-class
     CLI surface — pages in, deduplicated kept corpus + packed training
@@ -332,6 +348,13 @@ def _run_curation(args, stop_session: bool) -> None:
             min_tokens=args.min_tokens,
             near_dup=True,
             jaccard_threshold=args.jaccard,
+            repetition_thresholds=(
+                _gopher_thresholds() if args.gopher_repetition else None
+            ),
+            # doc_id IS the page url in curation mode, so the host cap
+            # derives domains from it directly
+            domain_cap=args.domain_cap,
+            url_col="doc_id",
             checkpoint_dir=args.checkpoint,
             # fold the pages source into the resume signature: the
             # default (schema-only) sig would silently resume another

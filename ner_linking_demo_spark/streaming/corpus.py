@@ -36,6 +36,7 @@ def incremental_corpus_pipeline(
     lang_allow: tuple[str, ...] | None = None,
     min_quality: float | None = None,
     min_tokens: int | None = None,
+    repetition_thresholds: dict[str, float] | None = None,
     n_hashes: int = 16,
     bands: int = 4,
     shingle_size: int = 3,
@@ -64,6 +65,15 @@ def incremental_corpus_pipeline(
         if min_tokens is not None:
             cond = cond & (F.col("n_tokens") >= int(min_tokens))
         filtered = ann.filter(cond)
+        if repetition_thresholds is not None:
+            # same Gopher gate as the batch composition: one Arrow
+            # projection riding the per-batch scan, zero extra shuffle
+            from ..functions.text_analysis import gopher_repetition_filter
+
+            filtered = gopher_repetition_filter(
+                filtered, text_col=text_col,
+                thresholds=repetition_thresholds,
+            )
         matches = incremental_neardup(
             filtered,
             store,

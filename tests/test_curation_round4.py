@@ -342,3 +342,76 @@ def test_domain_stats(spark):
     assert len(top1) == 1
     no_text = domain_stats(df.drop("text")).columns
     assert "total_chars" not in no_text
+
+
+def test_cli_curate_with_gopher_and_domain_cap(spark, tmp_path):
+    """--curate --gopher-repetition --domain-cap: spam dropped, hot host
+    capped, kept+sequences still agree."""
+    import duckdb
+
+    from ner_linking_demo_spark import __main__ as CLI
+
+    rows = []
+    for i in range(24):
+        rows.append(
+            (
+                f"https://hot.example.com/{i}",
+                f"unique page {i} words alpha{i} beta{i} gamma{i} "
+                f"delta{i} epsilon{i} zeta{i}",
+            )
+        )
+    rows.append(("https://cold.org/spam", "win money now " * 40))
+    rows.append(("https://cold.org/ok", "a clean quiet page with words"))
+    pages_dir = str(tmp_path / "pages")
+    spark.createDataFrame(rows, "url string, text string").write.parquet(
+        pages_dir
+    )
+    out = str(tmp_path / "cur")
+    CLI.main(
+        ["--curate", "--pages", pages_dir, "--out", out,
+         "--min-tokens", "3", "--max-tokens", "64",
+         "--gopher-repetition", "--domain-cap", "5"],
+        stop_session=False,
+    )
+    kept = spark.read.parquet(f"{out}/kept").collect()
+    ids = {r["doc_id"] for r in kept}
+    assert "https://cold.org/spam" not in ids
+    assert "https://cold.org/ok" in ids
+    hot = [r for r in kept if r["domain"] == "hot.example.com"]
+    assert 1 <= len(hot) <= 15  # approx strategy, expectation 5 of 24
+    n_kept = len(kept)
+    s = duckdb.sql(
+        f"select sum(n_docs) from '{out}/sequences/*.parquet'"
+    ).fetchone()[0]
+    assert s == n_kept
+
+
+def test_streaming_corpus_repetition_gate(spark, tmp_path):
+    import os
+
+    from ner_linking_demo_spark.streaming import incremental_corpus_pipeline
+
+    rows = [
+        (1, "a perfectly normal document with several distinct words"),
+        (2, "click here now " * 40),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+        1
+    ).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .parquet(src)
+    )
+    out = str(tmp_path / "out")
+    q = incremental_corpus_pipeline(
+        spark, stream, out_dir=out,
+        checkpoint_dir=str(tmp_path / "ck"), min_tokens=3,
+        repetition_thresholds=GOPHER_REPETITION_THRESHOLDS,
+    )
+    q.awaitTermination(120)
+    kept = {
+        r["doc_id"]
+        for r in spark.read.parquet(os.path.join(out, "kept")).collect()
+    }
+    assert kept == {1}
