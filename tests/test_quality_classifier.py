@@ -1,0 +1,91 @@
+"""Hashed-n-gram quality classifier: scoring determinism/parity,
+distributed training convergence, and filter semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ner_linking_demo_spark.functions.quality_classifier import (
+    QualityClassifier,
+    classifier_quality_filter,
+    quality_probability,
+    train_quality_classifier,
+)
+
+CLEAN = [
+    "the study presents a thorough analysis of the observed phenomena",
+    "historical records describe the development of local institutions",
+    "researchers documented significant findings in the annual report",
+    "the committee published detailed guidance for practitioners",
+    "an overview of methods used across comparative evaluations",
+    "the archive preserves manuscripts from several early collections",
+]
+SPAM = [
+    "click here buy now cheap deals click here buy now",
+    "win win win free money free money claim prize now",
+    "best price best price discount discount buy buy buy",
+    "hot singles online now click click subscribe subscribe",
+    "limited offer act now limited offer act now act now",
+    "free free free gift card winner winner click now",
+]
+
+
+def _labeled(spark):
+    rows = [(t, 1) for t in CLEAN] + [(t, 0) for t in SPAM]
+    return spark.createDataFrame(rows, "text string, label int")
+
+
+def test_scoring_matches_driver_reference_and_is_null_safe(spark):
+    clf = QualityClassifier.seeded(dim=1 << 12, seed=3)
+    texts = CLEAN[:2] + SPAM[:2]
+    df = spark.createDataFrame(
+        [(t,) for t in texts] + [(None,)], "text string"
+    )
+    got = [
+        r[0]
+        for r in df.select(
+            quality_probability(clf, F.col("text"))
+        ).collect()
+    ]
+    for t, p in zip(texts, got):
+        assert p == pytest.approx(clf.score_one(t), abs=1e-12)
+    assert got[-1] == 0.0  # NULL text scores 0, never crashes
+
+
+def test_training_converges_and_separates(spark):
+    labeled = _labeled(spark).repartition(4)
+    clf, losses = train_quality_classifier(labeled, dim=1 << 12)
+    assert losses[-1] < losses[0] * 0.5  # loss halves on separable data
+    for t in CLEAN:
+        assert clf.score_one(t) > 0.5, t
+    for t in SPAM:
+        assert clf.score_one(t) < 0.5, t
+
+
+def test_training_deterministic_for_fixed_partitioning(spark):
+    labeled = _labeled(spark).repartition(2)
+    c1, l1 = train_quality_classifier(labeled, dim=1 << 10, epochs=5)
+    c2, l2 = train_quality_classifier(labeled, dim=1 << 10, epochs=5)
+    assert l1 == l2
+    assert (c1.weights == c2.weights).all() and c1.bias == c2.bias
+
+
+def test_filter_keeps_above_threshold(spark):
+    labeled = _labeled(spark)
+    clf, _ = train_quality_classifier(labeled, dim=1 << 12)
+    docs = spark.createDataFrame(
+        [(1, CLEAN[0]), (2, SPAM[0])], "doc_id long, text string"
+    )
+    kept = classifier_quality_filter(docs, clf, threshold=0.5)
+    assert [r["doc_id"] for r in kept.collect()] == [1]
+    scored = classifier_quality_filter(
+        docs, clf, threshold=0.0, keep_score=True
+    )
+    assert "quality_prob" in scored.columns
+
+
+def test_training_raises_on_empty_input(spark):
+    empty = spark.createDataFrame([], "text string, label int")
+    with pytest.raises(ValueError, match="no labeled rows"):
+        train_quality_classifier(empty, dim=1 << 8, epochs=1)

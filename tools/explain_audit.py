@@ -339,6 +339,21 @@ def main() -> int:
         "BroadcastHashJoin" in p and "Window" not in p,
     )
 
+    # learned quality filter: like the repetition gate, one Arrow
+    # projection riding the scan — zero exchange
+    from ner_linking_demo_spark.functions.quality_classifier import (
+        QualityClassifier,
+        classifier_quality_filter,
+    )
+
+    p = plan_of(
+        classifier_quality_filter(docs, QualityClassifier.seeded(1 << 12))
+    )
+    failures += not check(
+        "quality classifier filter: zero exchange, one Arrow projection",
+        nodes(p, "Exchange") == 0 and "ArrowEvalPython" in p,
+    )
+
     print(f"\n{failures} failures")
     spark.stop()
     return 1 if failures else 0
