@@ -43,6 +43,18 @@ from pyspark.sql import functions as F
 DEFAULT_DIM = 1 << 16
 
 
+def _prob(ids: np.ndarray, weights: np.ndarray, bias: float) -> float:
+    """P(quality) for one featurized doc — the single logit definition
+    shared by inference (score_one, the scorer UDF) and training, so the
+    conventions cannot diverge. Content-free docs (no features: null,
+    empty, whitespace-only) score 0.0 — a quality gate should never pass
+    a doc on the bias prior alone."""
+    if ids.size == 0:
+        return 0.0
+    z = float(weights[ids].mean()) + bias
+    return float(1.0 / (1.0 + np.exp(-z)))
+
+
 def _feature_ids(text: str, dim: int) -> np.ndarray:
     """Hashed unigram+bigram feature ids for one document (with
     repetition — mean pooling counts repeats, as fastText does)."""
@@ -77,13 +89,10 @@ class QualityClassifier:
         rng = np.random.default_rng(seed)
         return cls(weights=rng.standard_normal(dim) * 0.1, bias=0.0)
 
-    def score_one(self, text: str) -> float:
-        ids = _feature_ids(text, self.dim)
-        if ids.size == 0:
-            z = self.bias
-        else:
-            z = float(self.weights[ids].mean()) + self.bias
-        return float(1.0 / (1.0 + np.exp(-z)))
+    def score_one(self, text: str | None) -> float:
+        if text is None:
+            return 0.0
+        return _prob(_feature_ids(text, self.dim), self.weights, self.bias)
 
 
 def quality_probability(clf: QualityClassifier, text: Column) -> Column:
@@ -95,12 +104,11 @@ def quality_probability(clf: QualityClassifier, text: Column) -> Column:
     def scorer(texts: pd.Series) -> pd.Series:
         out = np.empty(len(texts), dtype=np.float64)
         for i, t in enumerate(texts):
-            if t is None:
-                out[i] = 0.0
-                continue
-            ids = _feature_ids(t, dim)
-            z = bias if ids.size == 0 else float(weights[ids].mean()) + bias
-            out[i] = 1.0 / (1.0 + np.exp(-z))
+            out[i] = (
+                0.0
+                if t is None
+                else _prob(_feature_ids(t, dim), weights, bias)
+            )
         return pd.Series(out)
 
     return scorer(text)
@@ -147,6 +155,34 @@ def train_quality_classifier(
         F.col(text_col).alias("text"),
         F.col(label_col).cast("double").alias("y"),
     )
+
+    # Featurize ONCE and materialize: epochs differ only in the weight
+    # vector, so re-reading the source and re-hashing n-grams per epoch
+    # (60x by default) would be pure waste. Labels are validated here —
+    # a null or non-binary label would otherwise propagate NaN through
+    # the gradient into every weight with no error raised.
+    def featurize(batches):
+        for pdf in batches:
+            ids_col, y_col = [], []
+            for t, y in zip(pdf["text"], pdf["y"]):
+                if y is None or not (y == 0.0 or y == 1.0):
+                    raise ValueError(
+                        f"labels must be 0 or 1, got {y!r} "
+                        f"(null labels poison the gradient)"
+                    )
+                if t is None:
+                    continue  # featureless docs carry no signal
+                ids = _feature_ids(t, dim)
+                if ids.size == 0:
+                    continue
+                ids_col.append(ids.tobytes())
+                y_col.append(float(y))
+            yield pd.DataFrame({"ids": ids_col, "y": y_col})
+
+    feats = src.mapInPandas(
+        featurize, schema="ids binary, y double"
+    ).localCheckpoint(eager=True)
+
     w = np.zeros(dim, dtype=np.float64)
     b = 0.0
     losses: list[float] = []
@@ -161,23 +197,16 @@ def train_quality_classifier(
             loss = 0.0
             n = 0.0
             for pdf in batches:
-                for t, y in zip(pdf["text"], pdf["y"]):
-                    if t is None:
-                        continue
-                    ids = _feature_ids(t, dim)
-                    z = (
-                        b_cur
-                        if ids.size == 0
-                        else float(w_cur[ids].mean()) + b_cur
-                    )
+                for ids_raw, y in zip(pdf["ids"], pdf["y"]):
+                    ids = np.frombuffer(ids_raw, dtype=np.int64)
+                    z = float(w_cur[ids].mean()) + b_cur
                     p = 1.0 / (1.0 + np.exp(-z))
                     eps = 1e-12
                     loss -= y * np.log(p + eps) + (1 - y) * np.log(
                         1 - p + eps
                     )
                     err = p - y
-                    if ids.size:
-                        np.add.at(g, ids, err / ids.size)
+                    np.add.at(g, ids, err / ids.size)
                     gb += err
                     n += 1.0
             yield pd.DataFrame(
@@ -189,7 +218,7 @@ def train_quality_classifier(
                 }
             )
 
-        parts = src.mapInPandas(partial, schema=schema).collect()
+        parts = feats.mapInPandas(partial, schema=schema).collect()
         g = np.zeros(dim, dtype=np.float64)
         gb = 0.0
         loss = 0.0

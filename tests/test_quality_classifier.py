@@ -89,3 +89,23 @@ def test_training_raises_on_empty_input(spark):
     empty = spark.createDataFrame([], "text string, label int")
     with pytest.raises(ValueError, match="no labeled rows"):
         train_quality_classifier(empty, dim=1 << 8, epochs=1)
+
+
+def test_content_free_docs_score_zero(spark):
+    clf = QualityClassifier.seeded(dim=1 << 10, seed=1)
+    df = spark.createDataFrame([("",), ("   ",), (None,)], "text string")
+    got = [
+        r[0]
+        for r in df.select(quality_probability(clf, F.col("text"))).collect()
+    ]
+    assert got == [0.0, 0.0, 0.0]
+    assert clf.score_one("") == 0.0 and clf.score_one(None) == 0.0
+
+
+def test_null_label_raises_instead_of_poisoning(spark):
+    rows = [("good text here", 1), ("bad text there", None)]
+    labeled = spark.createDataFrame(rows, "text string, label int")
+    # pyspark surfaces the executor-side ValueError wrapped; match on
+    # the message, not the wrapper type
+    with pytest.raises(Exception, match="labels must be 0 or 1"):
+        train_quality_classifier(labeled, dim=1 << 8, epochs=1)
