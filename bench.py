@@ -338,6 +338,31 @@ def main() -> None:
 
         benches.append(("resignature_store", run_resignature))
 
+        # entity PageRank (round-4 session 3): power iteration over a
+        # ~50k-edge bipartite graph from lineitem (order -> part) — the
+        # KG entity-importance pass; fixed 5 iterations (tol=0 disables
+        # early stop AND the per-round delta join) so per-round work is
+        # identical
+        li = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .filter("l_orderkey < 12000")
+            .select(
+                FS.col("l_orderkey").alias("src"),
+                FS.col("l_partkey").alias("dst"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        from ner_linking_demo_spark.operators.pagerank import pagerank
+
+        benches.append(
+            (
+                "pagerank_5iter",
+                lambda: _materialize(
+                    pagerank(li, max_iter=5, tol=0.0, num_partitions=cpus)
+                ),
+            )
+        )
+
     # --- interleaved rounds, median per benchmark ------------------------
     samples: dict[str, list[float]] = {name: [] for name, _ in benches}
     for _ in range(rounds):

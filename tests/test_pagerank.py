@@ -1,0 +1,101 @@
+"""PageRank: numpy power-iteration oracle parity, dangling-mass
+conservation, convergence properties, and the KG edges composition."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from ner_linking_demo_spark.operators.pagerank import entity_pagerank, pagerank
+
+
+def _numpy_pagerank(edge_list, damping=0.85, iters=100):
+    nodes = sorted({u for u, _ in edge_list} | {v for _, v in edge_list})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    uniq = sorted(set(edge_list))
+    out = np.zeros(n)
+    for u, _ in uniq:
+        out[idx[u]] += 1
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for u, v in uniq:
+            contrib[idx[v]] += r[idx[u]] / out[idx[u]]
+        dangling = r[out == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {u: r[idx[u]] for u in nodes}
+
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"),
+    ("d", "c"),  # d has out-edges, nothing points at d
+    ("e", "a"), ("c", "e"),
+    ("f", "c"),  # f dangling-adjacent: f -> c only
+    # g is a pure sink (dangling): receives but never links out
+    ("a", "g"),
+]
+
+
+def test_matches_numpy_oracle(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, max_iter=100, tol=1e-12).collect()
+    }
+    want = _numpy_pagerank(EDGES)
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u] == pytest.approx(want[u], abs=1e-6), u
+
+
+def test_ranks_sum_to_one_with_dangling_nodes(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    ranks = pagerank(df, max_iter=30).collect()
+    assert sum(r["rank"] for r in ranks) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_cycle_is_uniform(spark):
+    cyc = [("1", "2"), ("2", "3"), ("3", "1")]
+    df = spark.createDataFrame(cyc, "src string, dst string")
+    ranks = pagerank(df, max_iter=50).collect()
+    for r in ranks:
+        assert r["rank"] == pytest.approx(1.0 / 3, abs=1e-9)
+
+
+def test_parallel_edges_collapse(spark):
+    dup = [("a", "b")] * 5 + [("c", "b"), ("b", "a"), ("b", "c")]
+    df = spark.createDataFrame(dup, "src string, dst string")
+    got = {r["node"]: r["rank"] for r in pagerank(df, max_iter=80).collect()}
+    want = _numpy_pagerank(list(set(dup)))
+    for u in want:
+        assert got[u] == pytest.approx(want[u], abs=1e-6)
+
+
+def test_tol_early_stop_and_validation(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    loose = pagerank(df, max_iter=100, tol=0.5).collect()
+    assert sum(r["rank"] for r in loose) == pytest.approx(1.0, abs=1e-9)
+    with pytest.raises(ValueError, match="damping"):
+        pagerank(df, damping=1.5)
+    empty = spark.createDataFrame([], "src string, dst string")
+    assert pagerank(empty).count() == 0
+
+
+def test_entity_pagerank_over_kg_edges(spark):
+    from ner_linking_demo_spark.plans.pipeline import run_pipeline
+    from ner_linking_demo_spark.sources.fixtures import (
+        gen_gazetteer,
+        gen_pages,
+    )
+
+    gaz = gen_gazetteer(n_codes=12)
+    pages = spark.createDataFrame(
+        gen_pages(n_pages=30, seed=5, gazetteer=gaz)[["url", "text"]]
+    )
+    res = run_pipeline(spark, pages, gaz, k=3)
+    ranks = entity_pagerank(res.edges, max_iter=15)
+    rows = ranks.collect()
+    assert len(rows) > 0
+    assert sum(r["rank"] for r in rows) == pytest.approx(1.0, abs=1e-6)
+    assert all(r["rank"] > 0 for r in rows)
