@@ -6,10 +6,15 @@ table the demo writes to Mongo — SURVEY S8).
 Spark-first power iteration, the GraphFrames/Pregel shape expressed in
 plain DataFrame ops:
 
-- the edge list is hash-partitioned ON src ONCE and localCheckpoint-ed;
-  every iteration's contribution join then reuses that clustering and
-  only the (node, rank) table — two doubles per node, tiny relative to
-  any real edge set — moves per round;
+- the edge list is materialized ONCE (localCheckpoint), so per-round
+  cost is the contribution join + aggregate, never a re-derivation of
+  the input. NOTE a checkpointed RDD does NOT report its partitioning
+  to Catalyst, so the join still exchanges the edge side each round
+  (plan-verified); for the at-rest form that genuinely eliminates the
+  per-round edge shuffle, write the edges as a bucketed table
+  (:func:`write_bucketed_edges`) — a bucketed scan reports hash
+  clustering on ``src``, and only the (node, rank) vector — two doubles
+  per node, tiny relative to any real edge set — moves per round;
 - contributions aggregate with ``groupBy(dst).sum`` — map-side partial
   aggregation absorbs hot destinations (popular entities are exactly
   the skewed keys at web scale);
@@ -41,13 +46,18 @@ def pagerank(
     src_col: str = "src",
     dst_col: str = "dst",
     num_partitions: int | None = None,
+    prepared: bool = False,
 ) -> DataFrame:
     """(src, dst) directed edges -> (node, rank), ranks summing to 1.
 
     Parallel edges are collapsed first (dropDuplicates): an entity pair
-    asserted by many pages is one endorsement, not many — pass
-    pre-weighted edges through :func:`weighted_pagerank` semantics
-    yourself if multiplicity should count.
+    asserted by many pages is one endorsement, not many.
+
+    ``prepared=True`` means the caller's ``edges`` is already
+    materialized in the layout it should be iterated over — e.g. a scan
+    of a :func:`write_bucketed_edges` table, whose bucket clustering on
+    ``src`` would be DESTROYED by the repartition+checkpoint this
+    function otherwise applies.
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
@@ -55,11 +65,12 @@ def pagerank(
         F.col(src_col).cast("string").alias("src"),
         F.col(dst_col).cast("string").alias("dst"),
     ).dropDuplicates(["src", "dst"])
-    if num_partitions:
-        e = e.repartition(num_partitions, "src")
-    else:
-        e = e.repartition("src")
-    e = e.localCheckpoint(eager=True)
+    if prepared is None or not prepared:
+        if num_partitions:
+            e = e.repartition(num_partitions, "src")
+        else:
+            e = e.repartition("src")
+        e = e.localCheckpoint(eager=True)
 
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -125,6 +136,41 @@ def pagerank(
         if delta is not None and delta < tol:
             break
     return ranks.select("node", "rank")
+
+
+def write_bucketed_edges(
+    edges: DataFrame,
+    table: str,
+    n_buckets: int = 64,
+    path: str | None = None,
+    src_col: str = "src",
+    dst_col: str = "dst",
+) -> None:
+    """Materialize the edge list as a Spark BUCKETED table clustered on
+    ``src`` — the at-rest layout for iterative graph jobs. A bucketed
+    scan reports its hash partitioning to Catalyst, so every power-iter
+    contribution join exchanges ONLY the (node, rank) vector; a
+    checkpointed DataFrame cannot provide this (its partitioning is
+    opaque to the optimizer — plan-asserted in tests). Same pattern as
+    similarity.write_bucketed_index: at web scale this is the
+    difference between re-shuffling the multi-TB edge list every
+    iteration and never moving it at all.
+
+    Read back with ``spark.table(table)`` and pass
+    ``pagerank(..., prepared=True)``."""
+    writer = (
+        edges.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+        )
+        .dropDuplicates(["src", "dst"])
+        .write.bucketBy(n_buckets, "src")
+        .sortBy("src")
+        .mode("overwrite")
+    )
+    if path is not None:
+        writer = writer.option("path", path)
+    writer.saveAsTable(table)
 
 
 def entity_pagerank(

@@ -99,3 +99,62 @@ def test_entity_pagerank_over_kg_edges(spark):
     assert len(rows) > 0
     assert sum(r["rank"] for r in rows) == pytest.approx(1.0, abs=1e-6)
     assert all(r["rank"] > 0 for r in rows)
+
+
+def test_bucketed_edges_cut_exchanges_and_match_oracle(spark, tmp_path):
+    """write_bucketed_edges -> pagerank(prepared=True): the bucketed
+    scan reports hash clustering on src, so the contribution join plans
+    strictly fewer Exchanges than the checkpointed form (which is
+    opaque to Catalyst), with identical ranks."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from ner_linking_demo_spark.operators.pagerank import (
+        write_bucketed_edges,
+    )
+
+    df = spark.createDataFrame(EDGES, "src string, dst string")
+    write_bucketed_edges(
+        df, "pr_edges_audit", n_buckets=4, path=str(tmp_path / "edges")
+    )
+    try:
+        bucketed = spark.table("pr_edges_audit")
+        ranks = spark.createDataFrame(
+            [(u, 0.1) for u in "abcdefg"], "node string, rank double"
+        )
+
+        def contribution_plan(e):
+            j = (
+                e.join(
+                    ranks.select(
+                        F.col("node").alias("src"),
+                        (F.col("rank") / 2).alias("share"),
+                    ),
+                    "src",
+                )
+                .groupBy("dst")
+                .agg(F.sum("share"))
+            )
+            return j._sc._jvm.PythonSQLUtils.explainString(
+                j._jdf.queryExecution(), "formatted"
+            )
+
+        ckpt = (
+            df.repartition(4, "src").localCheckpoint(eager=True)
+        )
+        n_bucketed = len(re.findall(r"\bExchange\b", contribution_plan(bucketed)))
+        n_ckpt = len(re.findall(r"\bExchange\b", contribution_plan(ckpt)))
+        assert n_bucketed < n_ckpt, (n_bucketed, n_ckpt)
+
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                bucketed, max_iter=100, tol=1e-12, prepared=True
+            ).collect()
+        }
+        want = _numpy_pagerank(EDGES)
+        for u in want:
+            assert got[u] == pytest.approx(want[u], abs=1e-6), u
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pr_edges_audit")
