@@ -47,11 +47,18 @@ def pagerank(
     dst_col: str = "dst",
     num_partitions: int | None = None,
     prepared: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """(src, dst) directed edges -> (node, rank), ranks summing to 1.
 
-    Parallel edges are collapsed first (dropDuplicates): an entity pair
-    asserted by many pages is one endorsement, not many.
+    Without ``weight_col``, parallel edges are collapsed first
+    (dropDuplicates): an entity pair asserted by many pages is one
+    endorsement, not many. WITH ``weight_col`` (weighted PageRank —
+    e.g. assertion counts or rerank scores as edge strength), each
+    source distributes its rank proportionally to edge weight
+    (share = rank * w / sum_w over the source's out-edges); duplicate
+    (src, dst) pairs are summed into one weighted edge. Non-positive or
+    null weights raise — they would silently invert or leak rank mass.
 
     ``prepared=True`` means the caller's ``edges`` is already
     materialized in the layout it should be iterated over — e.g. a scan
@@ -61,11 +68,48 @@ def pagerank(
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
-    e = edges.select(
-        F.col(src_col).cast("string").alias("src"),
-        F.col(dst_col).cast("string").alias("dst"),
-    ).dropDuplicates(["src", "dst"])
-    if prepared is None or not prepared:
+    if prepared:
+        # trust the layout AND the content: a prepared input (e.g. a
+        # write_bucketed_edges scan) is already deduplicated /
+        # weight-aggregated, and any dedup or repartition here would
+        # insert the very Exchange the bucketed layout exists to avoid
+        # (dropDuplicates reclusters on (src, dst) — per ITERATION,
+        # since e is re-planned each round)
+        w = (
+            F.col(weight_col).cast("double")
+            if weight_col is not None
+            else F.lit(1.0)
+        )
+        e = edges.select(
+            F.col(src_col).cast("string").alias("src"),
+            F.col(dst_col).cast("string").alias("dst"),
+            w.alias("w"),
+        )
+    else:
+        if weight_col is None:
+            e = edges.select(
+                F.col(src_col).cast("string").alias("src"),
+                F.col(dst_col).cast("string").alias("dst"),
+                F.lit(1.0).alias("w"),
+            ).dropDuplicates(["src", "dst"])
+        else:
+            bad = edges.filter(
+                F.col(weight_col).isNull() | (F.col(weight_col) <= 0)
+            )
+            if bad.limit(1).count() > 0:
+                raise ValueError(
+                    "edge weights must be positive and non-null (a zero/"
+                    "negative weight inverts rank flow; a null leaks mass)"
+                )
+            e = (
+                edges.select(
+                    F.col(src_col).cast("string").alias("src"),
+                    F.col(dst_col).cast("string").alias("dst"),
+                    F.col(weight_col).cast("double").alias("w"),
+                )
+                .groupBy("src", "dst")
+                .agg(F.sum("w").alias("w"))
+            )
         if num_partitions:
             e = e.repartition(num_partitions, "src")
         else:
@@ -82,7 +126,8 @@ def pagerank(
     if n == 0:
         return nodes.withColumn("rank", F.lit(0.0))
 
-    out_deg = e.groupBy("src").agg(F.count("*").alias("deg"))
+    # deg = total out-WEIGHT (count when unweighted: w = 1.0 per edge)
+    out_deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
     # (node, deg) with deg NULL for dangling nodes — joined once, rides
     # the rank table so the per-iteration work never re-derives it
     base = nodes.join(
@@ -100,12 +145,12 @@ def pagerank(
             e.join(
                 ranks.select(
                     F.col("node").alias("src"),
-                    (F.col("rank") / F.col("deg")).alias("share"),
+                    (F.col("rank") / F.col("deg")).alias("rate"),
                 ),
                 "src",
             )
             .groupBy("dst")
-            .agg(F.sum("share").alias("contrib"))
+            .agg(F.sum(F.col("rate") * F.col("w")).alias("contrib"))
         )
         new_ranks = (
             base.join(

@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import numpy as np
 import pytest
+from pyspark.sql import functions as F
 
 from ner_linking_demo_spark.operators.pagerank import entity_pagerank, pagerank
 
@@ -158,3 +159,75 @@ def test_bucketed_edges_cut_exchanges_and_match_oracle(spark, tmp_path):
             assert got[u] == pytest.approx(want[u], abs=1e-6), u
     finally:
         spark.sql("DROP TABLE IF EXISTS pr_edges_audit")
+
+
+def _numpy_weighted_pagerank(wedges, damping=0.85, iters=100):
+    from collections import defaultdict
+
+    agg = defaultdict(float)
+    for u, v, w in wedges:
+        agg[(u, v)] += w
+    nodes = sorted({u for u, _ in agg} | {v for _, v in agg})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    out_w = np.zeros(n)
+    for (u, _), w in agg.items():
+        out_w[idx[u]] += w
+    r = np.full(n, 1.0 / n)
+    for _ in range(iters):
+        contrib = np.zeros(n)
+        for (u, v), w in agg.items():
+            contrib[idx[v]] += r[idx[u]] * w / out_w[idx[u]]
+        dangling = r[out_w == 0].sum()
+        r = (1 - damping) / n + damping * (contrib + dangling / n)
+    return {u: r[idx[u]] for u in nodes}
+
+
+def test_weighted_pagerank_matches_oracle_and_sums_duplicates(spark):
+    wedges = [
+        ("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0),
+        ("c", "a", 1.0), ("a", "b", 1.0),  # duplicate pair: sums to 4.0
+        ("d", "a", 0.5),
+    ]
+    df = spark.createDataFrame(wedges, "src string, dst string, w double")
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            df, max_iter=100, tol=1e-12, weight_col="w"
+        ).collect()
+    }
+    want = _numpy_weighted_pagerank(wedges)
+    for u in want:
+        assert got[u] == pytest.approx(want[u], abs=1e-6), u
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_equal_weights_reduce_to_unweighted(spark):
+    df = spark.createDataFrame(EDGES, "src string, dst string").withColumn(
+        "w", F.lit(2.5)
+    )
+    got_w = {
+        r["node"]: r["rank"]
+        for r in pagerank(df, max_iter=60, weight_col="w").collect()
+    }
+    got_u = {
+        r["node"]: r["rank"]
+        for r in pagerank(df.drop("w"), max_iter=60).collect()
+    }
+    for u in got_u:
+        assert got_w[u] == pytest.approx(got_u[u], abs=1e-9), u
+
+
+def test_invalid_weights_raise(spark):
+    df = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", -1.0)],
+        "src string, dst string, w double",
+    )
+    with pytest.raises(ValueError, match="positive"):
+        pagerank(df, weight_col="w")
+    df2 = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", None)],
+        "src string, dst string, w double",
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        pagerank(df2, weight_col="w")
