@@ -38,6 +38,42 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _weight_expr(weight_col: str | None):
+    """Casted weight column (1.0 when unweighted). try_cast, not cast:
+    ANSI mode would throw task-side on an uncastable string — the null
+    it becomes here is caught by _validate_weights with a clear error."""
+    if weight_col is None:
+        return F.lit(1.0)
+    return F.col(weight_col).try_cast("double")
+
+
+def _validate_weights(e: DataFrame) -> None:
+    """Raise on null / non-positive / NaN / infinite weights — checked
+    on the CASTED value (a NaN passes neither isNull nor <= 0 in Spark's
+    ordering; +inf zeroes a source's rate; an uncastable string
+    try_casts to null)."""
+    bad = e.filter(
+        F.col("w").isNull()
+        | F.isnan("w")
+        | (F.col("w") <= 0)
+        | (F.col("w") == float("inf"))
+    )
+    if bad.limit(1).count() > 0:
+        raise ValueError(
+            "edge weights must be positive, finite and non-null (a zero/"
+            "negative weight inverts rank flow; null/NaN/inf weights "
+            "erase or leak rank mass)"
+        )
+
+
+def _repartition_checkpoint(df: DataFrame, num_partitions: int | None):
+    if num_partitions:
+        df = df.repartition(num_partitions, "src")
+    else:
+        df = df.repartition("src")
+    return df.localCheckpoint(eager=True)
+
+
 def pagerank(
     edges: DataFrame,
     damping: float = 0.85,
@@ -57,64 +93,63 @@ def pagerank(
     e.g. assertion counts or rerank scores as edge strength), each
     source distributes its rank proportionally to edge weight
     (share = rank * w / sum_w over the source's out-edges); duplicate
-    (src, dst) pairs are summed into one weighted edge. Non-positive or
-    null weights raise — they would silently invert or leak rank mass.
+    (src, dst) pairs are summed into one weighted edge. Weights that are
+    null, non-positive, NaN, infinite, or uncastable raise — each would
+    silently invert, erase, or leak rank mass. Validation runs in BOTH
+    the prepared and unprepared paths (for a prepared bucketed scan it
+    is one extra pass over the at-rest table — a correctness cost the
+    docstring promise is worth).
 
     ``prepared=True`` means the caller's ``edges`` is already
     materialized in the layout it should be iterated over — e.g. a scan
     of a :func:`write_bucketed_edges` table, whose bucket clustering on
     ``src`` would be DESTROYED by the repartition+checkpoint this
-    function otherwise applies.
+    function otherwise applies — AND already normalized: deduplicated
+    (unweighted) or weight-aggregated per (src, dst) pair (weighted;
+    ``write_bucketed_edges(weight_col=...)`` produces exactly that).
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
     if prepared:
-        # trust the layout AND the content: a prepared input (e.g. a
+        # trust the LAYOUT: a prepared input (e.g. a
         # write_bucketed_edges scan) is already deduplicated /
         # weight-aggregated, and any dedup or repartition here would
         # insert the very Exchange the bucketed layout exists to avoid
         # (dropDuplicates reclusters on (src, dst) — per ITERATION,
         # since e is re-planned each round)
-        w = (
-            F.col(weight_col).cast("double")
-            if weight_col is not None
-            else F.lit(1.0)
-        )
         e = edges.select(
             F.col(src_col).cast("string").alias("src"),
             F.col(dst_col).cast("string").alias("dst"),
-            w.alias("w"),
+            _weight_expr(weight_col).alias("w"),
         )
-    else:
-        if weight_col is None:
-            e = edges.select(
+        if weight_col is not None:
+            _validate_weights(e)
+    elif weight_col is None:
+        e = _repartition_checkpoint(
+            edges.select(
                 F.col(src_col).cast("string").alias("src"),
                 F.col(dst_col).cast("string").alias("dst"),
                 F.lit(1.0).alias("w"),
-            ).dropDuplicates(["src", "dst"])
-        else:
-            bad = edges.filter(
-                F.col(weight_col).isNull() | (F.col(weight_col) <= 0)
-            )
-            if bad.limit(1).count() > 0:
-                raise ValueError(
-                    "edge weights must be positive and non-null (a zero/"
-                    "negative weight inverts rank flow; a null leaks mass)"
-                )
-            e = (
-                edges.select(
-                    F.col(src_col).cast("string").alias("src"),
-                    F.col(dst_col).cast("string").alias("dst"),
-                    F.col(weight_col).cast("double").alias("w"),
-                )
-                .groupBy("src", "dst")
-                .agg(F.sum("w").alias("w"))
-            )
-        if num_partitions:
-            e = e.repartition(num_partitions, "src")
-        else:
-            e = e.repartition("src")
-        e = e.localCheckpoint(eager=True)
+            ).dropDuplicates(["src", "dst"]),
+            num_partitions,
+        )
+    else:
+        # checkpoint the casted projection FIRST so validation and the
+        # per-pair aggregation read it once — validating the raw input
+        # would re-execute the whole upstream lineage a second time
+        proj = _repartition_checkpoint(
+            edges.select(
+                F.col(src_col).cast("string").alias("src"),
+                F.col(dst_col).cast("string").alias("dst"),
+                _weight_expr(weight_col).alias("w"),
+            ),
+            num_partitions,
+        )
+        _validate_weights(proj)
+        e = _repartition_checkpoint(
+            proj.groupBy("src", "dst").agg(F.sum("w").alias("w")),
+            num_partitions,
+        )
 
     nodes = (
         e.select(F.col("src").alias("node"))
@@ -190,6 +225,7 @@ def write_bucketed_edges(
     path: str | None = None,
     src_col: str = "src",
     dst_col: str = "dst",
+    weight_col: str | None = None,
 ) -> None:
     """Materialize the edge list as a Spark BUCKETED table clustered on
     ``src`` — the at-rest layout for iterative graph jobs. A bucketed
@@ -201,15 +237,29 @@ def write_bucketed_edges(
     difference between re-shuffling the multi-TB edge list every
     iteration and never moving it at all.
 
+    With ``weight_col``, duplicate (src, dst) pairs are sum-aggregated
+    into one weighted edge at write time — the normalized form
+    ``pagerank(..., prepared=True, weight_col="w")`` expects.
+
     Read back with ``spark.table(table)`` and pass
     ``pagerank(..., prepared=True)``."""
-    writer = (
-        edges.select(
+    if weight_col is None:
+        normalized = edges.select(
             F.col(src_col).cast("string").alias("src"),
             F.col(dst_col).cast("string").alias("dst"),
+        ).dropDuplicates(["src", "dst"])
+    else:
+        normalized = (
+            edges.select(
+                F.col(src_col).cast("string").alias("src"),
+                F.col(dst_col).cast("string").alias("dst"),
+                _weight_expr(weight_col).alias("w"),
+            )
+            .groupBy("src", "dst")
+            .agg(F.sum("w").alias("w"))
         )
-        .dropDuplicates(["src", "dst"])
-        .write.bucketBy(n_buckets, "src")
+    writer = (
+        normalized.write.bucketBy(n_buckets, "src")
         .sortBy("src")
         .mode("overwrite")
     )
@@ -223,10 +273,24 @@ def entity_pagerank(
     damping: float = 0.85,
     max_iter: int = 20,
     tol: float = 1e-6,
+    weight_by_assertions: bool = False,
 ) -> DataFrame:
     """PageRank over the KG pipeline's materialized edges table
     (src, rel, dst from operators/triples.build_triples) — the
-    entity-importance diagnostic a KG consumer ranks/prunes with."""
+    entity-importance diagnostic a KG consumer ranks/prunes with.
+
+    ``weight_by_assertions=True`` counts how many (relation) rows assert
+    each (src, dst) pair and uses that count as edge weight — the
+    'many pages/relations endorse this link' signal; the default treats
+    each distinct pair as one endorsement."""
+    if weight_by_assertions:
+        weighted = kg_edges.groupBy("src", "dst").agg(
+            F.count("*").cast("double").alias("w")
+        )
+        return pagerank(
+            weighted, damping=damping, max_iter=max_iter, tol=tol,
+            weight_col="w",
+        )
     return pagerank(
         kg_edges.select("src", "dst"),
         damping=damping,

@@ -231,3 +231,78 @@ def test_invalid_weights_raise(spark):
     )
     with pytest.raises(ValueError, match="non-null"):
         pagerank(df2, weight_col="w")
+
+
+def test_weight_validation_catches_nan_inf_uncastable(spark):
+    for w in (float("nan"), float("inf")):
+        df = spark.createDataFrame(
+            [("a", "b", 1.0), ("b", "a", w)],
+            "src string, dst string, w double",
+        )
+        with pytest.raises(ValueError, match="positive, finite"):
+            pagerank(df, weight_col="w")
+    # uncastable string try_casts to null -> clean error, not an ANSI
+    # task-side crash
+    df3 = spark.createDataFrame(
+        [("a", "b", "2.0"), ("b", "a", "abc")],
+        "src string, dst string, w string",
+    )
+    with pytest.raises(ValueError, match="non-null"):
+        pagerank(df3, weight_col="w")
+
+
+def test_bucketed_weighted_edges_prepared_matches_oracle(spark, tmp_path):
+    wedges = [
+        ("a", "b", 3.0), ("a", "c", 1.0), ("b", "c", 2.0),
+        ("c", "a", 1.0), ("a", "b", 1.0), ("d", "a", 0.5),
+    ]
+    from ner_linking_demo_spark.operators.pagerank import (
+        write_bucketed_edges,
+    )
+
+    df = spark.createDataFrame(wedges, "src string, dst string, w double")
+    write_bucketed_edges(
+        df, "pr_wedges_audit", n_buckets=4,
+        path=str(tmp_path / "wedges"), weight_col="w",
+    )
+    try:
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                spark.table("pr_wedges_audit"), max_iter=100, tol=1e-12,
+                prepared=True, weight_col="w",
+            ).collect()
+        }
+        want = _numpy_weighted_pagerank(wedges)
+        for u in want:
+            assert got[u] == pytest.approx(want[u], abs=1e-6), u
+        # prepared path validates too (docstring promise)
+        bad = spark.createDataFrame(
+            [("a", "b", -1.0)], "src string, dst string, w double"
+        )
+        with pytest.raises(ValueError, match="positive"):
+            pagerank(bad, prepared=True, weight_col="w")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS pr_wedges_audit")
+
+
+def test_entity_pagerank_weight_by_assertions(spark):
+    # two relations assert (p1, e1); one asserts (p1, e2): weighted mode
+    # must give e1 more of p1's rank than e2
+    rows = [
+        ("p1", "r1", "e1"), ("p1", "r2", "e1"), ("p1", "r1", "e2"),
+        ("e1", "r1", "p1"), ("e2", "r1", "p1"),
+    ]
+    kg = spark.createDataFrame(rows, "src string, rel string, dst string")
+    ranks = {
+        r["node"]: r["rank"]
+        for r in entity_pagerank(
+            kg, max_iter=60, weight_by_assertions=True
+        ).collect()
+    }
+    assert ranks["e1"] > ranks["e2"]
+    unw = {
+        r["node"]: r["rank"]
+        for r in entity_pagerank(kg, max_iter=60).collect()
+    }
+    assert unw["e1"] == pytest.approx(unw["e2"], abs=1e-9)
