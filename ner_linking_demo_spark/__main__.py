@@ -126,6 +126,18 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     ap.add_argument("--max-tokens", type=int, default=2048,
                     help="with --curate: training-window token budget "
                     "for sequence packing (0 skips packing)")
+    ap.add_argument("--rank-entities", action="store_true",
+                    help="graph-analytics run: read a KG edges parquet "
+                    "(--edges, columns src/dst[/rel]) and write "
+                    "<out>/entity_ranks (PageRank; --weight-by-assertions "
+                    "counts relation rows per pair as edge strength)")
+    ap.add_argument("--edges", default=None,
+                    help="with --rank-entities: edges parquet path")
+    ap.add_argument("--weight-by-assertions", action="store_true",
+                    help="with --rank-entities: weight edges by "
+                    "duplicate-assertion counts")
+    ap.add_argument("--max-iter", type=int, default=20,
+                    help="with --rank-entities: power iterations")
     ap.add_argument("--gopher-repetition", action="store_true",
                     help="with --curate: drop docs failing any published "
                     "Gopher repetition threshold (dup-line / top-n-gram "
@@ -189,6 +201,12 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
                 "checkpoint snapshot retention uses --keep-last"
             )
         _run_maintenance(args, stop_session)
+        return
+    if args.rank_entities:
+        for req in ("edges", "out"):
+            if getattr(args, req) is None:
+                ap.error(f"--{req} is required for --rank-entities")
+        _run_rank_entities(args, stop_session)
         return
     if args.curate:
         for req in ("pages", "out"):
@@ -299,6 +317,30 @@ def _load_pages(spark, args):
     if fmt == "parquet":
         return spark.read.parquet(args.pages)
     return spark.read.table(args.pages)
+
+
+def _run_rank_entities(args, stop_session: bool) -> None:
+    """Graph-analytics mode: KG edges parquet -> (node, rank) parquet,
+    ranks descending — the entity-importance pass a KG consumer
+    ranks/prunes with, reachable from the deployment surface."""
+    from ner_linking_demo_spark.operators.pagerank import entity_pagerank
+    from ner_linking_demo_spark.session import get_spark
+
+    spark = get_spark(app_name="kg-rank-entities")
+    try:
+        edges = spark.read.parquet(args.edges)
+        ranks = entity_pagerank(
+            edges,
+            max_iter=args.max_iter,
+            weight_by_assertions=args.weight_by_assertions,
+        ).orderBy("rank", ascending=False)
+        out = f"{args.out}/entity_ranks"
+        ranks.write.mode("overwrite").parquet(out)
+        n = spark.read.parquet(out).count()
+        print(f"entity_ranks: {n} nodes -> {out}")
+    finally:
+        if stop_session:
+            spark.stop()
 
 
 def _gopher_thresholds() -> dict[str, float]:

@@ -306,3 +306,30 @@ def test_entity_pagerank_weight_by_assertions(spark):
         for r in entity_pagerank(kg, max_iter=60).collect()
     }
     assert unw["e1"] == pytest.approx(unw["e2"], abs=1e-9)
+
+
+def test_cli_rank_entities(spark, tmp_path):
+    from ner_linking_demo_spark import __main__ as CLI
+
+    rows = [
+        ("p1", "r1", "e1"), ("p1", "r2", "e1"), ("p1", "r1", "e2"),
+        ("e1", "r1", "p1"), ("e2", "r1", "p1"),
+    ]
+    edges_dir = str(tmp_path / "edges")
+    spark.createDataFrame(
+        rows, "src string, rel string, dst string"
+    ).write.parquet(edges_dir)
+    out = str(tmp_path / "kgout")
+    CLI.main(
+        ["--rank-entities", "--edges", edges_dir, "--out", out,
+         "--weight-by-assertions", "--max-iter", "40"],
+        stop_session=False,
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in spark.read.parquet(f"{out}/entity_ranks").collect()
+    }
+    assert got["e1"] > got["e2"]
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+    with pytest.raises(SystemExit):
+        CLI.main(["--rank-entities", "--out", out], stop_session=False)
