@@ -838,6 +838,87 @@ def repetition_signals(spark, sf_dir):
     return docs.withColumn("s", udf(text)).select("doc_id", "s.*")
 
 
+def _quality_fixture_text(i: int) -> str | None:
+    """Formula text i — python twin of the Catalyst expression in the
+    quality_score entry (byte-identical by construction). Covers NULL
+    text (i%23==0), whitespace-only => featureless (i%19==0), and
+    varied-vocabulary repeated lines that exercise unigram+bigram
+    hashing across the repeat boundary."""
+    if i % 23 == 0:
+        return None
+    if i % 19 == 0:
+        return "   "
+    body = f"w{i % 13} q{i % 7} spam spam " * ((i % 5) + 1)
+    return f"{body}t{i}"
+
+
+def _quality_score_sql(dim: int = 4096, seed: int = 11) -> str:
+    """Literal-VALUES oracle from the single-doc reference scorer
+    (QualityClassifier.score_one — the same _prob/_feature_ids pair the
+    Arrow UDF maps over executor batches, so inference conventions
+    cannot diverge; hand-fixture and separability tested in
+    tests/test_quality_classifier.py). Probabilities are bit-exact
+    between the two paths: identical numpy ops on identical inputs,
+    repr round-trips the double through DuckDB."""
+    from ..functions.quality_classifier import QualityClassifier
+
+    clf = QualityClassifier.seeded(dim=dim, seed=seed)
+    rows = []
+    for i in range(200):
+        p = clf.score_one(_quality_fixture_text(i))
+        rows.append((i, p, p >= 0.5))
+    vals = ",\n      ".join(
+        f"({i}, CAST({p!r} AS DOUBLE), {str(kept).upper()})"
+        for i, p, kept in rows
+    )
+    return (
+        "SELECT * FROM (VALUES\n      "
+        + vals
+        + ") AS t(doc_id, quality_prob, kept)"
+    )
+
+
+@q("quality_score", _quality_score_sql())
+def quality_score(spark, sf_dir):
+    """Learned corpus-quality scoring (SURVEY §2.11): the hashed
+    unigram+bigram linear classifier scores formula-built texts in one
+    Arrow projection riding the scan (zero shuffle), plus the threshold
+    decision the curation gate applies. The driver row checks the
+    DISTRIBUTED inference path — feature hashing, mean pooling, sigmoid,
+    NULL and featureless handling — against the single-doc reference
+    scorer the oracle was generated from."""
+    from ..functions.quality_classifier import (
+        QualityClassifier,
+        quality_probability,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id").filter(
+        "doc_id < 200"
+    )
+    body = F.repeat(
+        F.concat(
+            F.lit("w"),
+            (F.col("doc_id") % 13).cast("string"),
+            F.lit(" q"),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit(" spam spam "),
+        ),
+        ((F.col("doc_id") % 5) + 1).cast("int"),
+    )
+    text = (
+        F.when(F.col("doc_id") % 23 == 0, F.lit(None).cast("string"))
+        .when(F.col("doc_id") % 19 == 0, F.lit("   "))
+        .otherwise(
+            F.concat(body, F.lit("t"), F.col("doc_id").cast("string"))
+        )
+    )
+    clf = QualityClassifier.seeded(dim=4096, seed=11)
+    return docs.select(
+        "doc_id",
+        quality_probability(clf, text).alias("quality_prob"),
+    ).withColumn("kept", F.col("quality_prob") >= 0.5)
+
+
 @q(
     "incremental_neardup_replay",
     """
@@ -1343,7 +1424,12 @@ def _ann_lsh_topk_sql(n_planes: int = 8, dim: int = 64, k: int = 10,
     """
 
 
-@q("ann_lsh_topk", _ann_lsh_topk_sql())
+# Rotated out in round 4 (slot freed for the quality-classifier entry):
+# LSH bucketing mechanics stay driver-checked twice over (the
+# dedup_minhash_lsh banding and dedup_embedding_lsh hyperplane entries)
+# and ANN keeps ann_ivf_topk + ann_join_topk in the window; this exact
+# compare keeps running in pytest via RETIRED.
+@q_retired("ann_lsh_topk", _ann_lsh_topk_sql())
 def ann_lsh_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     qvec = e.filter("vec_id = 0").select("embedding").head()[0]

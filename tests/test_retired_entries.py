@@ -28,6 +28,7 @@ def duck():
 def test_retired_registry_holds_the_rotated_entries():
     assert sorted(q.name for q in RETIRED) == [
         "ann_bruteforce_topk",
+        "ann_lsh_topk",
         "cand_term_avg",
         "dedup_minhash_signature",
         "kg_detect_mentions",
