@@ -110,6 +110,29 @@ def pagerank(
     """
     if not 0.0 < damping < 1.0:
         raise ValueError("damping must be in (0, 1)")
+    e = _normalize_edges(
+        edges, src_col, dst_col, weight_col, prepared, num_partitions
+    )
+    nodes, n, base = _rank_base(e)
+    if n == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    ranks = base.withColumn("rank", F.lit(1.0 / n))
+    ranks, _ = _power_iterate(e, base, ranks, n, damping, max_iter, tol)
+    return ranks.select("node", "rank")
+
+
+def _normalize_edges(
+    edges: DataFrame,
+    src_col: str,
+    dst_col: str,
+    weight_col: str | None,
+    prepared: bool,
+    num_partitions: int | None,
+) -> DataFrame:
+    """Normalized (src, dst, w) edge set: deduplicated (unweighted) or
+    per-pair weight-aggregated (weighted), materialized in the layout
+    the iteration should run over — unless ``prepared``, which trusts
+    the caller's at-rest layout (see :func:`pagerank`)."""
     if prepared:
         # trust the LAYOUT: a prepared input (e.g. a
         # write_bucketed_edges scan) is already deduplicated /
@@ -150,7 +173,14 @@ def pagerank(
             proj.groupBy("src", "dst").agg(F.sum("w").alias("w")),
             num_partitions,
         )
+    return e
 
+
+def _rank_base(e: DataFrame):
+    """(nodes, n, base) for a normalized edge set ``e``: the distinct
+    node table, its count, and (node, deg) with deg = total out-weight,
+    NULL for dangling nodes — joined once, rides the rank table so the
+    per-iteration work never re-derives it."""
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -159,18 +189,30 @@ def pagerank(
     )
     n = nodes.count()
     if n == 0:
-        return nodes.withColumn("rank", F.lit(0.0))
-
-    # deg = total out-WEIGHT (count when unweighted: w = 1.0 per edge)
+        return nodes, 0, nodes
     out_deg = e.groupBy("src").agg(F.sum("w").alias("deg"))
-    # (node, deg) with deg NULL for dangling nodes — joined once, rides
-    # the rank table so the per-iteration work never re-derives it
     base = nodes.join(
         out_deg.withColumnRenamed("src", "node"), "node", "left"
     ).localCheckpoint(eager=True)
+    return nodes, n, base
 
-    ranks = base.withColumn("rank", F.lit(1.0 / n))
+
+def _power_iterate(
+    e: DataFrame,
+    base: DataFrame,
+    ranks: DataFrame,
+    n: int,
+    damping: float,
+    max_iter: int,
+    tol: float,
+) -> tuple[DataFrame, int]:
+    """The power-iteration loop shared by cold-start :func:`pagerank`
+    and warm-start :func:`incremental_pagerank`. ``ranks`` must carry
+    (node, deg, rank) with the vector summing to 1. Returns the final
+    rank table and the number of iterations actually run."""
+    iters = 0
     for _ in range(max_iter):
+        iters += 1
         dangling = (
             ranks.filter(F.col("deg").isNull())
             .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
@@ -215,7 +257,80 @@ def pagerank(
         ranks = new_ranks
         if delta is not None and delta < tol:
             break
-    return ranks.select("node", "rank")
+    return ranks, iters
+
+
+def incremental_pagerank(
+    edges: DataFrame,
+    prev_ranks: DataFrame,
+    damping: float = 0.85,
+    max_iter: int = 20,
+    tol: float = 1e-6,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    num_partitions: int | None = None,
+    prepared: bool = False,
+    weight_col: str | None = None,
+    return_stats: bool = False,
+) -> DataFrame | tuple[DataFrame, int]:
+    """Warm-start PageRank for an append-only KG: re-rank the CURRENT
+    edge set seeding the iteration from ``prev_ranks`` (the (node, rank)
+    output of the previous run) instead of uniform 1/n.
+
+    This is the EXACT incremental form: the stationary vector is a
+    property of the current graph alone, so the result is the same
+    fixpoint :func:`pagerank` converges to (tol-bounded — equivalence
+    property-tested); only the number of rounds changes. After a small
+    delta batch the previous vector is already near the new fixpoint,
+    so convergence takes a fraction of the cold-start rounds — and with
+    ``prepared=True`` over a :func:`write_bucketed_edges` scan each
+    remaining round moves ONLY the (node, rank) vector, never the edge
+    list. Per-batch cost is thus O(near-fixpoint rounds), the honest
+    exact-result floor; push-style or Monte-Carlo incremental PageRank
+    touches less of the graph per batch but surrenders exactness, the
+    wrong trade for a rank consumers prune entities with.
+
+    Seeding: nodes keep their previous rank; nodes new in this batch
+    enter at the uniform share 1/n; ranks of vanished nodes are dropped;
+    the seed is renormalized to sum to 1 (power iteration preserves
+    total mass, so an unnormalized seed would converge to a mis-scaled
+    vector when tol stops it early). NaN/null previous ranks are
+    discarded (treated as new nodes) rather than poisoning the vector.
+    ``prev_ranks`` must be unique per node — :func:`pagerank` output is.
+
+    ``return_stats=True`` additionally returns the number of iterations
+    actually run (the quantity the warm start is buying down)."""
+    if not 0.0 < damping < 1.0:
+        raise ValueError("damping must be in (0, 1)")
+    e = _normalize_edges(
+        edges, src_col, dst_col, weight_col, prepared, num_partitions
+    )
+    nodes, n, base = _rank_base(e)
+    if n == 0:
+        out = nodes.withColumn("rank", F.lit(0.0))
+        return (out, 0) if return_stats else out
+    seed = base.join(
+        prev_ranks.filter(~F.isnan("rank")).select(
+            "node", F.col("rank").alias("prev_rank")
+        ),
+        "node",
+        "left",
+    ).withColumn(
+        "raw", F.coalesce("prev_rank", F.lit(1.0 / n))
+    )
+    total = seed.agg(F.sum("raw")).first()[0]
+    if total is None or total <= 0.0:
+        raise ValueError(
+            "prev_ranks carry no positive mass for the current node set"
+        )
+    ranks = (
+        seed.withColumn("rank", F.col("raw") / F.lit(float(total)))
+        .drop("prev_rank", "raw")
+        .localCheckpoint(eager=True)
+    )
+    ranks, iters = _power_iterate(e, base, ranks, n, damping, max_iter, tol)
+    out = ranks.select("node", "rank")
+    return (out, iters) if return_stats else out
 
 
 def write_bucketed_edges(
@@ -274,6 +389,7 @@ def entity_pagerank(
     max_iter: int = 20,
     tol: float = 1e-6,
     weight_by_assertions: bool = False,
+    prev_ranks: DataFrame | None = None,
 ) -> DataFrame:
     """PageRank over the KG pipeline's materialized edges table
     (src, rel, dst from operators/triples.build_triples) — the
@@ -282,18 +398,21 @@ def entity_pagerank(
     ``weight_by_assertions=True`` counts how many (relation) rows assert
     each (src, dst) pair and uses that count as edge weight — the
     'many pages/relations endorse this link' signal; the default treats
-    each distinct pair as one endorsement."""
+    each distinct pair as one endorsement.
+
+    ``prev_ranks`` (the output of the previous run) switches to the
+    warm-start :func:`incremental_pagerank` — the per-batch form for a
+    KG grown by append-only corpus batches."""
     if weight_by_assertions:
-        weighted = kg_edges.groupBy("src", "dst").agg(
+        src = kg_edges.groupBy("src", "dst").agg(
             F.count("*").cast("double").alias("w")
         )
-        return pagerank(
-            weighted, damping=damping, max_iter=max_iter, tol=tol,
-            weight_col="w",
+        kw = dict(
+            damping=damping, max_iter=max_iter, tol=tol, weight_col="w"
         )
-    return pagerank(
-        kg_edges.select("src", "dst"),
-        damping=damping,
-        max_iter=max_iter,
-        tol=tol,
-    )
+    else:
+        src = kg_edges.select("src", "dst")
+        kw = dict(damping=damping, max_iter=max_iter, tol=tol)
+    if prev_ranks is not None:
+        return incremental_pagerank(src, prev_ranks, **kw)
+    return pagerank(src, **kw)

@@ -333,3 +333,113 @@ def test_cli_rank_entities(spark, tmp_path):
     assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
     with pytest.raises(SystemExit):
         CLI.main(["--rank-entities", "--out", out], stop_session=False)
+
+
+# --------------------------------------------------------------------------
+# Incremental (warm-start) PageRank
+# --------------------------------------------------------------------------
+
+DELTA = [("h", "c"), ("h", "a"), ("g", "h"), ("b", "h")]
+
+
+def test_incremental_matches_full_recompute(spark):
+    from ner_linking_demo_spark.operators.pagerank import incremental_pagerank
+
+    base = spark.createDataFrame(EDGES, "src string, dst string")
+    prev = pagerank(base, max_iter=100, tol=1e-12)
+    full = spark.createDataFrame(EDGES + DELTA, "src string, dst string")
+    got = {
+        r["node"]: r["rank"]
+        for r in incremental_pagerank(
+            full, prev, max_iter=100, tol=1e-12
+        ).collect()
+    }
+    want = _numpy_pagerank(EDGES + DELTA)
+    assert set(got) == set(want)
+    for u in want:
+        assert got[u] == pytest.approx(want[u], abs=1e-6), u
+    assert sum(got.values()) == pytest.approx(1.0, abs=1e-9)
+
+
+def test_incremental_warm_start_cuts_iterations(spark):
+    from ner_linking_demo_spark.operators.pagerank import incremental_pagerank
+
+    base = spark.createDataFrame(EDGES, "src string, dst string")
+    prev = pagerank(base, max_iter=100, tol=1e-12)
+    full = spark.createDataFrame(EDGES + DELTA, "src string, dst string")
+    # cold start through the same code path: an empty prev vector seeds
+    # every node at the uniform share, i.e. exactly pagerank's init
+    empty_prev = spark.createDataFrame([], "node string, rank double")
+    _, cold_iters = incremental_pagerank(
+        full, empty_prev, max_iter=100, tol=1e-9, return_stats=True
+    )
+    _, warm_iters = incremental_pagerank(
+        full, prev, max_iter=100, tol=1e-9, return_stats=True
+    )
+    assert warm_iters < cold_iters
+    # re-ranking an UNCHANGED graph from its own fixpoint is ~free
+    _, noop_iters = incremental_pagerank(
+        base, prev, max_iter=100, tol=1e-9, return_stats=True
+    )
+    assert noop_iters <= 2
+
+
+def test_incremental_seed_hygiene(spark):
+    """NaN prev ranks are discarded, vanished nodes dropped, new nodes
+    enter at the uniform share — and the result is still the fixpoint."""
+    from ner_linking_demo_spark.operators.pagerank import incremental_pagerank
+
+    full = spark.createDataFrame(EDGES + DELTA, "src string, dst string")
+    messy_prev = spark.createDataFrame(
+        [("a", float("nan")), ("zombie", 0.4), ("b", 0.1), ("c", 0.2)],
+        "node string, rank double",
+    )
+    got = {
+        r["node"]: r["rank"]
+        for r in incremental_pagerank(
+            full, messy_prev, max_iter=100, tol=1e-12
+        ).collect()
+    }
+    want = _numpy_pagerank(EDGES + DELTA)
+    assert set(got) == set(want)  # zombie gone, h present
+    for u in want:
+        assert got[u] == pytest.approx(want[u], abs=1e-6), u
+
+
+def test_incremental_rejects_massless_prev_and_empty_graph(spark):
+    from ner_linking_demo_spark.operators.pagerank import incremental_pagerank
+
+    full = spark.createDataFrame(EDGES, "src string, dst string")
+    bad_prev = spark.createDataFrame(
+        [(u, float("nan")) for u, _ in EDGES], "node string, rank double"
+    )
+    # all-NaN prev degrades to uniform (every node coalesces to 1/n)
+    out = incremental_pagerank(full, bad_prev, max_iter=5)
+    assert sum(r["rank"] for r in out.collect()) == pytest.approx(
+        1.0, abs=1e-9
+    )
+    empty_edges = spark.createDataFrame([], "src string, dst string")
+    prev = spark.createDataFrame([("a", 1.0)], "node string, rank double")
+    assert incremental_pagerank(empty_edges, prev).count() == 0
+
+
+def test_entity_pagerank_prev_ranks_path(spark):
+    kg = spark.createDataFrame(
+        [("p1", "links", "e1"), ("e1", "links", "p1"), ("p1", "links", "e2")],
+        "src string, rel string, dst string",
+    )
+    prev = entity_pagerank(kg, max_iter=80)
+    kg2 = kg.union(
+        spark.createDataFrame(
+            [("e2", "links", "e1")], "src string, rel string, dst string"
+        )
+    )
+    warm = {
+        r["node"]: r["rank"]
+        for r in entity_pagerank(kg2, max_iter=80, prev_ranks=prev).collect()
+    }
+    want = _numpy_pagerank(
+        [("p1", "e1"), ("e1", "p1"), ("p1", "e2"), ("e2", "e1")]
+    )
+    for u in want:
+        assert warm[u] == pytest.approx(want[u], abs=1e-6), u
