@@ -50,7 +50,7 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     )
     ap.add_argument(
         "--maintain",
-        choices=["expire", "compact", "resignature"],
+        choices=["expire", "compact", "resignature", "train-quality"],
         default=None,
         help="housekeeping instead of a pipeline run: "
         "expire = drop all but --keep-last snapshots per table + staging "
@@ -59,7 +59,10 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
         "latest snapshot at --target-file-mb (same input signature, "
         "resume unaffected) or fold a batch layout; resignature = "
         "migrate a signature store to new hashing params (--store, "
-        "--docs, --new-root, --n-hashes/--bands/--shingle-size)",
+        "--docs, --new-root, --n-hashes/--bands/--shingle-size); "
+        "train-quality = train the learned quality classifier on a "
+        "labeled parquet (--labeled, --model-out) for --curate "
+        "--quality-model",
     )
     ap.add_argument("--store", default=None,
                     help="with --maintain resignature: the OLD signature "
@@ -81,6 +84,18 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
                     help="with --maintain resignature: REQUIRED token "
                     "shingle width (a store pinned at a non-default "
                     "width must not silently re-shingle at another)")
+    ap.add_argument("--labeled", default=None,
+                    help="with --maintain train-quality: parquet of "
+                    "(text string, label 0/1) rows — 1 = high quality")
+    ap.add_argument("--model-out", default=None,
+                    help="with --maintain train-quality: output .npz "
+                    "path for the trained QualityClassifier")
+    ap.add_argument("--train-dim", type=int, default=None,
+                    help="with --maintain train-quality: hashed feature "
+                    "table size (default 65536)")
+    ap.add_argument("--train-epochs", type=int, default=60,
+                    help="with --maintain train-quality: full-batch GD "
+                    "epochs (default 60)")
     ap.add_argument("--tables", default=None,
                     help="comma-separated tables for --maintain "
                     "(default: every table in the checkpoint)")
@@ -121,6 +136,16 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     ap.add_argument("--lang", default=None,
                     help="with --curate: comma-separated lang-id allowlist "
                     "(e.g. es,en)")
+    ap.add_argument("--quality-model", default=None,
+                    help="with --curate: .npz of trained "
+                    "QualityClassifier weights (see "
+                    "functions/quality_classifier.py save()/load()); "
+                    "turns on the learned quality gate. The model "
+                    "fingerprint is folded into the resume signature, "
+                    "so retraining invalidates stale snapshots.")
+    ap.add_argument("--model-threshold", type=float, default=0.5,
+                    help="with --quality-model: keep docs with "
+                    "P(quality) >= this (default 0.5)")
     ap.add_argument("--jaccard", type=float, default=0.7,
                     help="with --curate: near-dup Jaccard threshold")
     ap.add_argument("--max-tokens", type=int, default=2048,
@@ -168,6 +193,18 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
                     "--maintain resignature does not combine with "
                     "--checkpoint/--batch-layout/--tables — run those "
                     "maintenance jobs separately"
+                )
+        elif args.maintain == "train-quality":
+            for req in ("labeled", "model_out"):
+                if getattr(args, req) is None:
+                    ap.error(
+                        "--maintain train-quality requires --labeled "
+                        "and --model-out"
+                    )
+            if args.checkpoint or args.batch_layout or args.tables:
+                ap.error(
+                    "--maintain train-quality does not combine with "
+                    "--checkpoint/--batch-layout/--tables"
                 )
         elif not args.checkpoint and not args.batch_layout:
             ap.error("--maintain requires --checkpoint or --batch-layout")
@@ -382,12 +419,27 @@ def _run_curation(args, stop_session: bool) -> None:
             if args.lang
             else None
         )
+        quality_model = None
+        if args.quality_model:
+            from ner_linking_demo_spark.functions.quality_classifier import (
+                QualityClassifier,
+            )
+
+            quality_model = QualityClassifier.load(args.quality_model)
+            print(
+                f"quality model: {args.quality_model} "
+                f"(dim={quality_model.dim}, "
+                f"fingerprint={quality_model.fingerprint()}, "
+                f"threshold={args.model_threshold})"
+            )
         res = run_corpus_pipeline(
             spark,
             docs,
             lang_allow=lang_allow,
             min_quality=args.min_quality,
             min_tokens=args.min_tokens,
+            quality_model=quality_model,
+            model_quality_threshold=args.model_threshold,
             near_dup=True,
             jaccard_threshold=args.jaccard,
             repetition_thresholds=(
@@ -445,6 +497,26 @@ def _run_maintenance(args, stop_session: bool) -> None:
 def _dispatch_maintenance(spark, args) -> None:
     from ner_linking_demo_spark.plans.catalog import CheckpointCatalog
 
+    if args.maintain == "train-quality":
+        from ner_linking_demo_spark.functions.quality_classifier import (
+            DEFAULT_DIM,
+            train_quality_classifier,
+        )
+
+        labeled = spark.read.parquet(args.labeled)
+        clf, losses = train_quality_classifier(
+            labeled,
+            dim=args.train_dim or DEFAULT_DIM,
+            epochs=args.train_epochs,
+        )
+        clf.save(args.model_out)
+        print(
+            f"train-quality: {args.labeled} -> {args.model_out} "
+            f"(dim={clf.dim}, fingerprint={clf.fingerprint()}, "
+            f"loss {losses[0]:.4f} -> {losses[-1]:.4f} "
+            f"over {len(losses)} epochs)"
+        )
+        return
     if args.maintain == "resignature":
         from ner_linking_demo_spark.operators.incremental_dedup import (
             SignatureStore,

@@ -94,6 +94,33 @@ class QualityClassifier:
             return 0.0
         return _prob(_feature_ids(text, self.dim), self.weights, self.bias)
 
+    def fingerprint(self) -> str:
+        """Content hash of the model (weights + bias) — what checkpoint
+        signatures must pin so a retrained model can never silently
+        resume snapshots scored by the old one."""
+        import hashlib
+
+        h = hashlib.md5(self.weights.tobytes())
+        h.update(repr(float(self.bias)).encode())
+        return h.hexdigest()[:16]
+
+    def save(self, path: str) -> None:
+        """npz on a local/driver-visible path (the model is a few MB —
+        it ships to executors inside the scorer closure, so its at-rest
+        home is the driver, not the cluster FS). Writes to ``path``
+        EXACTLY — np.savez's silent ``.npz`` suffix-append would break
+        the save(p) -> load(p) round-trip for suffix-less paths."""
+        with open(path, "wb") as f:
+            np.savez(f, weights=self.weights, bias=np.float64(self.bias))
+
+    @classmethod
+    def load(cls, path: str) -> "QualityClassifier":
+        with np.load(path) as z:
+            return cls(
+                weights=np.asarray(z["weights"], dtype=np.float64),
+                bias=float(z["bias"]),
+            )
+
 
 def quality_probability(clf: QualityClassifier, text: Column) -> Column:
     """Column of P(high quality | doc) under ``clf`` — one Arrow

@@ -72,6 +72,8 @@ def run_corpus_pipeline(
     shingle_size: int = 3,
     jaccard_threshold: float = 0.7,
     repetition_thresholds: dict[str, float] | None = None,
+    quality_model=None,
+    model_quality_threshold: float = 0.5,
     domain_cap: int | None = None,
     domain_cap_strategy: str = "approx",
     url_col: str = "url",
@@ -87,6 +89,11 @@ def run_corpus_pipeline(
     dedup (and ``domain`` when ``domain_cap`` is set).
     ``repetition_thresholds`` turns on the Gopher repetition gate
     (signal <= threshold keeps; see functions/text_analysis.py);
+    ``quality_model`` (a ``QualityClassifier``) turns on the LEARNED
+    quality gate — P(quality) >= ``model_quality_threshold`` keeps, and
+    the model's content fingerprint is folded into the checkpoint
+    signature, so a retrained model can never silently resume snapshots
+    scored by the old one;
     ``domain_cap`` keeps at most that many docs per host (``approx``
     strategy = skew-immune expectation cap, ``exact`` = windowed). ``stats`` records per-stage surviving counts when
     ``collect_stats=True`` — four extra distributed counts per run, so
@@ -99,10 +106,18 @@ def run_corpus_pipeline(
         if repetition_thresholds is not None
         else None
     )
+    # the MODEL CONTENT (fingerprint), not its path or object identity,
+    # pins the signature: same weights resume, retrained weights don't
+    model_sig = (
+        f"{quality_model.fingerprint()}:{model_quality_threshold}"
+        if quality_model is not None
+        else None
+    )
     conf = (
         f"{lang_allow}|{min_quality}|{min_tokens}|{near_dup}|{n_hashes}"
         f"|{bands}|{shingle_size}|{jaccard_threshold}"
         f"|{rep_sig}|{domain_cap}|{domain_cap_strategy}|{url_col}"
+        f"|{model_sig}"
     )
     cat = (
         CheckpointCatalog(spark, checkpoint_dir) if checkpoint_dir else None
@@ -147,6 +162,19 @@ def run_corpus_pipeline(
         # TA.GOPHER_REPETITION_THRESHOLDS for the full published set.
         filtered = TA.gopher_repetition_filter(
             filtered, text_col=text_col, thresholds=repetition_thresholds
+        )
+    if quality_model is not None:
+        # learned gate rides the same scan as the repetition gate, and
+        # sits after the domain cap for the same reason (the approx cap
+        # double-scans its input — keep that input codegen-only)
+        from ..functions.quality_classifier import classifier_quality_filter
+
+        filtered = classifier_quality_filter(
+            filtered,
+            quality_model,
+            threshold=model_quality_threshold,
+            text_col=text_col,
+            keep_score=True,
         )
     if cat:
         filtered = cat.stage(

@@ -224,3 +224,55 @@ def test_cli_curate(spark, tmp_path):
         f"SELECT unnest(doc_ids) AS d FROM '{out}/sequences/*.parquet'"
     ).df()["d"].tolist()
     assert sorted(packed) == sorted(kept)  # every kept doc packed once
+
+
+def test_cli_train_quality_then_curate_with_model(spark, tmp_path):
+    """The full learned-quality loop from the deployment surface:
+    --maintain train-quality trains + saves the classifier npz, then
+    --curate --quality-model gates the corpus with it (spam pages
+    dropped, clean pages kept, quality_prob materialized)."""
+    import duckdb
+    import pandas as pd
+
+    clean = [
+        "the study presents a thorough analysis of observed phenomena",
+        "historical records describe the development of institutions",
+        "researchers documented significant findings in the report",
+        "the committee published detailed guidance for practitioners",
+    ]
+    spam = [
+        "click here buy now cheap deals click here buy now",
+        "win win win free money free money claim prize now",
+        "best price best price discount discount buy buy buy",
+        "limited offer act now limited offer act now act now",
+    ]
+    labeled = pd.DataFrame(
+        {"text": clean + spam, "label": [1] * len(clean) + [0] * len(spam)}
+    )
+    spark.createDataFrame(labeled).write.parquet(str(tmp_path / "labeled"))
+    model = str(tmp_path / "quality.npz")
+    CLI.main(
+        ["--maintain", "train-quality",
+         "--labeled", str(tmp_path / "labeled"),
+         "--model-out", model, "--train-dim", "4096"],
+        stop_session=False,
+    )
+
+    pages = pd.DataFrame(
+        {"url": [f"page://{i}" for i in range(len(clean + spam))],
+         "text": clean + spam}
+    )
+    spark.createDataFrame(pages).write.parquet(str(tmp_path / "pages"))
+    out = tmp_path / "cur"
+    CLI.main(
+        ["--curate", "--pages", str(tmp_path / "pages"),
+         "--out", str(out), "--quality-model", model,
+         "--max-tokens", "0"],
+        stop_session=False,
+    )
+    kept = duckdb.sql(
+        f"SELECT doc_id, quality_prob FROM '{out}/kept/*.parquet'"
+    ).df()
+    n_clean = len(clean)
+    assert sorted(kept["doc_id"]) == [f"page://{i}" for i in range(n_clean)]
+    assert (kept["quality_prob"] >= 0.5).all()

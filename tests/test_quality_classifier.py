@@ -109,3 +109,67 @@ def test_null_label_raises_instead_of_poisoning(spark):
     # the message, not the wrapper type
     with pytest.raises(Exception, match="labels must be 0 or 1"):
         train_quality_classifier(labeled, dim=1 << 8, epochs=1)
+
+
+def test_save_load_roundtrip_exact(tmp_path):
+    clf = QualityClassifier.seeded(dim=1 << 12, seed=11)
+    # suffix-LESS path: np.savez would silently append .npz and break
+    # the round-trip; save() must write to the exact path
+    p = str(tmp_path / "model")
+    clf.save(p)
+    back = QualityClassifier.load(p)
+    assert (back.weights == clf.weights).all()  # bit-exact, not approx
+    assert back.bias == clf.bias
+    assert back.fingerprint() == clf.fingerprint()
+    for t in CLEAN[:2] + SPAM[:2]:
+        assert back.score_one(t) == clf.score_one(t)
+
+
+def test_fingerprint_pins_model_content():
+    a = QualityClassifier.seeded(dim=1 << 10, seed=1)
+    same = QualityClassifier(weights=a.weights.copy(), bias=a.bias)
+    assert a.fingerprint() == same.fingerprint()
+    w = a.weights.copy()
+    w[0] += 1e-9  # any retrain-sized drift must change the pin
+    assert QualityClassifier(weights=w, bias=a.bias).fingerprint() != a.fingerprint()
+    assert (
+        QualityClassifier(weights=a.weights, bias=a.bias + 1e-9).fingerprint()
+        != a.fingerprint()
+    )
+
+
+def test_pipeline_learned_gate_and_retrain_invalidates_checkpoint(
+    spark, tmp_path
+):
+    from ner_linking_demo_spark.plans.corpus_pipeline import (
+        run_corpus_pipeline,
+    )
+
+    labeled = _labeled(spark)
+    clf, _ = train_quality_classifier(labeled, dim=1 << 12)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(CLEAN + SPAM)],
+        "doc_id long, text string",
+    )
+    ckpt = str(tmp_path / "ckpt")
+    kept_a = run_corpus_pipeline(
+        spark, docs, quality_model=clf, near_dup=False,
+        checkpoint_dir=ckpt, input_sig="qtest",
+    ).kept
+    assert sorted(r["doc_id"] for r in kept_a.collect()) == list(
+        range(len(CLEAN))
+    )
+    assert "quality_prob" in kept_a.columns
+
+    # an adversarial "retrain": flipped labels invert the gate. Same
+    # checkpoint dir + input sig — only the model fingerprint differs,
+    # so resuming the old snapshot would return CLEAN docs again.
+    flipped = labeled.select("text", (1 - F.col("label")).alias("label"))
+    clf2, _ = train_quality_classifier(flipped, dim=1 << 12)
+    kept_b = run_corpus_pipeline(
+        spark, docs, quality_model=clf2, near_dup=False,
+        checkpoint_dir=ckpt, input_sig="qtest",
+    ).kept
+    assert sorted(r["doc_id"] for r in kept_b.collect()) == list(
+        range(len(CLEAN), len(CLEAN) + len(SPAM))
+    )
