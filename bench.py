@@ -224,6 +224,57 @@ def main() -> None:
             )
         )
 
+        # decontamination scan-form flag + PII scrub (round-4 session
+        # 4): the two curation stages measured standalone over the full
+        # documents table — the per-doc cost each adds to a corpus scan.
+        # The eval set = 64 ten-token slices of corpus docs (realistic:
+        # grams DO occur in the corpus).
+        from ner_linking_demo_spark.functions.pii import scrub_pii
+        from ner_linking_demo_spark.operators.decontamination import (
+            collect_eval_ngrams,
+            contamination_flag,
+        )
+
+        _eval_set = (
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .filter("doc_id % 79 = 0")
+            .limit(64)
+            .select(
+                FS.col("doc_id").alias("eval_id"),
+                FS.concat_ws(
+                    " ",
+                    FS.slice(
+                        FS.split(FS.trim(FS.col("text")), r"\s+"), 3, 10
+                    ),
+                ).alias("text"),
+            )
+        )
+        _eval_grams = collect_eval_ngrams(_eval_set, n=8)
+        benches.append(
+            (
+                "decontam_flag_scan",
+                lambda: _materialize(
+                    corpus_docs.select(
+                        "doc_id",
+                        contamination_flag(
+                            FS.col("text"), _eval_grams, n=8
+                        ).alias("bad"),
+                    )
+                ),
+            )
+        )
+        benches.append(
+            (
+                "pii_scrub",
+                lambda: _materialize(
+                    scrub_pii(
+                        corpus_docs.select("doc_id", "text"),
+                        keep_counts=True,
+                    )
+                ),
+            )
+        )
+
         # incremental near-dup per-batch latency (round-4): the store is
         # built once in setup (history = the full documents table); the
         # benchmark measures ONE delta batch (500 docs = exact copies of

@@ -146,6 +146,18 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     ap.add_argument("--model-threshold", type=float, default=0.5,
                     help="with --quality-model: keep docs with "
                     "P(quality) >= this (default 0.5)")
+    ap.add_argument("--decontam", default=None,
+                    help="with --curate: parquet of eval benchmark "
+                    "items (eval_id, text); drops every doc sharing a "
+                    "--decontam-ngram word n-gram with any item. The "
+                    "eval-set fingerprint rides the resume signature.")
+    ap.add_argument("--decontam-ngram", type=int, default=8,
+                    help="with --decontam: contamination n-gram size "
+                    "(default 8 words)")
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="with --curate: regex-redact emails/IPv4/"
+                    "phone numbers in the kept corpus (final stage, "
+                    "after dedup)")
     ap.add_argument("--jaccard", type=float, default=0.7,
                     help="with --curate: near-dup Jaccard threshold")
     ap.add_argument("--max-tokens", type=int, default=2048,
@@ -440,6 +452,13 @@ def _run_curation(args, stop_session: bool) -> None:
             min_tokens=args.min_tokens,
             quality_model=quality_model,
             model_quality_threshold=args.model_threshold,
+            eval_set=(
+                spark.read.parquet(args.decontam)
+                if args.decontam
+                else None
+            ),
+            decontam_ngram=args.decontam_ngram,
+            scrub_pii=args.scrub_pii,
             near_dup=True,
             jaccard_threshold=args.jaccard,
             repetition_thresholds=(

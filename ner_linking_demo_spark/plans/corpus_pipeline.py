@@ -74,6 +74,9 @@ def run_corpus_pipeline(
     repetition_thresholds: dict[str, float] | None = None,
     quality_model=None,
     model_quality_threshold: float = 0.5,
+    eval_set: DataFrame | None = None,
+    decontam_ngram: int = 8,
+    scrub_pii: bool = False,
     domain_cap: int | None = None,
     domain_cap_strategy: str = "approx",
     url_col: str = "url",
@@ -93,7 +96,15 @@ def run_corpus_pipeline(
     quality gate — P(quality) >= ``model_quality_threshold`` keeps, and
     the model's content fingerprint is folded into the checkpoint
     signature, so a retrained model can never silently resume snapshots
-    scored by the old one;
+    scored by the old one; ``eval_set`` (eval_id, text) turns on
+    benchmark decontamination — any doc sharing a ``decontam_ngram``
+    word n-gram with an eval item is dropped, via the one-scan flag
+    form (the eval n-gram set is collected to the driver ONCE — small
+    by definition — and its content fingerprint rides the checkpoint
+    signature); ``scrub_pii`` regex-redacts emails/IPv4/phones in the
+    KEPT corpus as the final stage (after dedup, so near-dup detection
+    sees original text, and redaction tokens can't create artificial
+    near-dups);
     ``domain_cap`` keeps at most that many docs per host (``approx``
     strategy = skew-immune expectation cap, ``exact`` = windowed). ``stats`` records per-stage surviving counts when
     ``collect_stats=True`` — four extra distributed counts per run, so
@@ -113,11 +124,26 @@ def run_corpus_pipeline(
         if quality_model is not None
         else None
     )
+    eval_grams: list[str] | None = None
+    decontam_sig = None
+    if eval_set is not None:
+        from ..operators.decontamination import (
+            collect_eval_ngrams,
+            eval_set_fingerprint,
+        )
+
+        # ONE driver-side collect of the (small) eval n-gram set: the
+        # gram list feeds both the scan-form flag and the signature pin
+        eval_grams = collect_eval_ngrams(eval_set, n=decontam_ngram)
+        decontam_sig = eval_set_fingerprint(eval_grams, decontam_ngram)
     conf = (
         f"{lang_allow}|{min_quality}|{min_tokens}|{near_dup}|{n_hashes}"
         f"|{bands}|{shingle_size}|{jaccard_threshold}"
+        # scrub_pii is deliberately NOT in the signature: redaction is
+        # applied AFTER the last checkpointed stage (on the loaded kept
+        # set), so toggling it must not invalidate warm snapshots
         f"|{rep_sig}|{domain_cap}|{domain_cap_strategy}|{url_col}"
-        f"|{model_sig}"
+        f"|{model_sig}|{decontam_sig}"
     )
     cat = (
         CheckpointCatalog(spark, checkpoint_dir) if checkpoint_dir else None
@@ -176,6 +202,19 @@ def run_corpus_pipeline(
             text_col=text_col,
             keep_score=True,
         )
+    if eval_grams:
+        # decontamination rides the same scan (scan-form flag — the
+        # join form would cost the corpus a second scan for its
+        # anti-join). An EMPTY gram set (all eval items shorter than
+        # n) gates nothing by contract, so it skips the Arrow pass
+        # entirely (decontam_sig still pins the signature above).
+        from ..operators.decontamination import contamination_flag
+
+        filtered = filtered.filter(
+            ~contamination_flag(
+                F.col(text_col), eval_grams, n=decontam_ngram
+            )
+        )
     if cat:
         filtered = cat.stage(
             "corpus_filtered", f"{sig}|{conf}", lambda: filtered
@@ -224,6 +263,12 @@ def run_corpus_pipeline(
         kept = exact.join(losers, id_col, "left_anti")
         if cat:
             kept = cat.stage("corpus_kept", f"{sig}|{conf}", lambda: kept)
+    if scrub_pii:
+        # final stage ON the kept set: dedup saw original text; the
+        # redaction is a pure codegen projection over the output
+        from ..functions.pii import scrub_pii as _scrub
+
+        kept = _scrub(kept, text_col=text_col)
     if collect_stats:
         stats["kept"] = kept.count()
     return CorpusResult(kept=kept, stats=stats)

@@ -22,7 +22,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from ..functions import pii as PII
 from ..functions import text_analysis as TA
+from ..operators import decontamination as DC
 from ..operators import dedup as DD
 from ..operators import similarity as SIM
 
@@ -349,7 +351,7 @@ def j3_interval_self_join(spark, sf_dir):
     )
 
 
-@q(
+@q_retired(
     "a2_group_concat",
     """
     SELECT r.r_name AS region,
@@ -358,6 +360,12 @@ def j3_interval_self_join(spark, sf_dir):
     GROUP BY r.r_name
     """,
 )
+# rotated to RETIRED in round 4 (with a6_topk_count_sum) to free driver
+# slots for the decontamination + PII-redaction entries: both are tiny
+# leaf aggregations whose operator families stay driver-covered
+# (ordered collect_list also drives w8's IOB assembly; top-k-aggregate
+# stays live via w1_topk_per_group + a11_best_k), and the identical
+# oracle compare runs in tests/test_retired_entries.py
 def a2_group_concat(spark, sf_dir):
     """A2 ordered group-concat (code -> synonyms in the reference)."""
     n = _t(spark, sf_dir, "nation")
@@ -373,7 +381,7 @@ def a2_group_concat(spark, sf_dir):
     )
 
 
-@q(
+@q_retired(
     "a6_topk_count_sum",
     """
     SELECT CAST(SUM(cnt) AS BIGINT) AS top3_total FROM (
@@ -917,6 +925,135 @@ def quality_score(spark, sf_dir):
         "doc_id",
         quality_probability(clf, text).alias("quality_prob"),
     ).withColumn("kept", F.col("quality_prob") >= 0.5)
+
+
+@q(
+    "decontam_matches",
+    r"""
+    WITH d AS (
+      -- lower() mirrors the operator's case normalization (the harness
+      -- docs happen to be lowercase already, but the oracle must be
+      -- semantics-equal, not data-coincidentally-equal)
+      SELECT doc_id, regexp_extract_all(trim(lower(text)), '\S+') AS toks
+      FROM documents WHERE doc_id < 200
+    ),
+    e AS (
+      SELECT doc_id AS eval_id, list_slice(toks, 4, 13) AS etoks
+      FROM d WHERE doc_id IN (7, 23, 41)
+    ),
+    eg AS (
+      -- scalar generate_series (list form): the table-function form
+      -- cannot take lateral column bounds in DuckDB
+      SELECT DISTINCT eval_id, ngram FROM (
+        SELECT eval_id,
+               unnest([array_to_string(list_slice(etoks, i, i + 7), ' ')
+                       for i in generate_series(1, len(etoks) - 7)])
+               AS ngram
+        FROM e
+      )
+    ),
+    dg AS (
+      SELECT DISTINCT doc_id, ngram FROM (
+        SELECT doc_id,
+               unnest([array_to_string(list_slice(toks, i, i + 7), ' ')
+                       for i in generate_series(1, len(toks) - 7)])
+               AS ngram
+        FROM d
+      )
+    )
+    SELECT dg.doc_id, eg.eval_id, eg.ngram
+    FROM dg JOIN eg ON dg.ngram = eg.ngram
+    """,
+)
+def decontam_matches(spark, sf_dir):
+    """Benchmark decontamination (SURVEY §2.11): eval items are planted
+    as 10-token slices of docs 7/23/41, so every (doc, eval, 8-gram)
+    match — the planted sources plus any word-salad doc that genuinely
+    repeats the phrase — must be found. Drives the join form end-to-end:
+    codegen tokenize + Arrow gram explode on the corpus side,
+    broadcast-hash-join against the eval n-gram set, zero corpus
+    Exchange (plan-audited in tests)."""
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 200")
+    evals = d.filter(F.col("doc_id").isin(7, 23, 41)).select(
+        F.col("doc_id").alias("eval_id"),
+        F.concat_ws(" ", F.slice(TA.tokens(F.col("text")), 4, 10)).alias(
+            "text"
+        ),
+    )
+    return DC.contamination_matches(d, evals, n=8)
+
+
+@q(
+    "pii_redact",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             text || ' contact user' || doc_id ||
+             '@example.com from 10.0.' || (doc_id % 256) ||
+             '.7 call +1555' || lpad(CAST(doc_id AS VARCHAR), 7, '0') ||
+             CASE WHEN doc_id % 2 = 0
+                  THEN ' cc second.bot@spam.example.net' ELSE '' END ||
+             CASE WHEN doc_id % 3 = 0
+                  THEN ' fwd a+15551234567@fwd.example.org' ELSE '' END
+             AS text
+      FROM documents WHERE doc_id < 150
+    ),
+    r AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '{EMAIL}', '<EMAIL>', 'g'),
+               '{IPV4}', '<IPV4>', 'g'),
+               '{PHONE}', '<PHONE>', 'g') AS red,
+             len(regexp_extract_all(text, '{EMAIL}')) AS n_email,
+             len(regexp_extract_all(text, '{IPV4}')) AS n_ipv4,
+             len(regexp_extract_all(text, '{PHONE}')) AS n_phone
+      FROM p
+    )
+    SELECT doc_id, red AS text, n_email, n_ipv4, n_phone FROM r
+    """.replace("{EMAIL}", PII.PII_PATTERNS["email"])
+    .replace("{IPV4}", PII.PII_PATTERNS["ipv4"])
+    .replace("{PHONE}", PII.PII_PATTERNS["phone"]),
+)
+def pii_redact(spark, sf_dir):
+    """PII scrubbing (SURVEY §2.11): plant a per-doc email + IPv4 +
+    E.164 phone (a second email on even ids, and on ids % 3 == 0 an
+    email whose LOCAL PART is itself a valid phone — the overlap that
+    makes replacement order observable) into the word-salad docs, then
+    redact + count. The oracle runs the SAME pattern strings under
+    DuckDB's RE2 — the exact redacted strings and counts must agree,
+    which checks the regex portability contract AND the
+    email-before-ip-before-phone order (reordering PII_PATTERNS on the
+    Spark side alone flips the overlap doc's output and fails the
+    hash). Pure codegen projection (no UDF, no Exchange; plan-audited
+    in tests)."""
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 150")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1555"),
+            F.lpad(F.col("doc_id").cast("string"), 7, "0"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.lit(" cc second.bot@spam.example.net"),
+            ).otherwise(F.lit("")),
+            # ORDER-SENSITIVE plant: the email's local part CONTAINS a
+            # valid E.164 phone. Email-first redacts the whole address;
+            # phone-first would leave "a<PHONE>@..." (no email match),
+            # so a reordered PII_PATTERNS hash-mismatches the oracle.
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit(" fwd a+15551234567@fwd.example.org"),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return PII.scrub_pii(planted, keep_counts=True).select(
+        "doc_id", "text", "n_email", "n_ipv4", "n_phone"
+    )
 
 
 @q(

@@ -144,3 +144,61 @@ def test_persist_intermediate_same_results(spark, docs):
         spark, docs, persist_intermediate=True, **kw
     ).kept.select("doc_id").collect()}
     assert a == b
+
+
+def test_decontam_and_scrub_stages(spark, docs):
+    """eval_set drops exactly the docs containing a planted eval
+    n-gram; scrub_pii redacts the kept text as the final stage (dedup
+    saw the original); both fold into the resume signature."""
+    from ner_linking_demo_spark.operators.decontamination import (
+        collect_eval_ngrams,
+    )
+
+    # eval item = 8 consecutive tokens of doc 0 -> doc 0 and its exact
+    # duplicate (n+100) are contamination; everything else is clean
+    row0 = docs.filter("doc_id = 0").collect()[0]
+    eval_text = " ".join(row0["text"].split()[2:10])
+    eval_set = spark.createDataFrame(
+        [(1, eval_text)], "eval_id long, text string"
+    )
+    assert len(collect_eval_ngrams(eval_set, n=8)) == 1
+
+    base_ids = {
+        r["doc_id"]
+        for r in run_corpus_pipeline(
+            spark, docs, near_dup=False
+        ).kept.select("doc_id").collect()
+    }
+    kept = run_corpus_pipeline(
+        spark, docs, near_dup=False, eval_set=eval_set
+    ).kept
+    got_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # ground truth: the word salads share phrases, so OTHER docs can
+    # genuinely contain the planted 8-gram — compute the contaminated
+    # set independently (docs are single-spaced lowercase, so the
+    # n-gram check is a substring check on word boundaries)
+    expect_bad = {
+        r["doc_id"]
+        for r in docs.filter(
+            F.contains(
+                F.concat(F.lit(" "), F.col("text"), F.lit(" ")),
+                F.lit(f" {eval_text} "),
+            )
+        ).collect()
+    }
+    assert 0 in expect_bad
+    assert base_ids - got_ids == expect_bad & base_ids
+
+    # scrub: plant an email into one doc, assert final text redacted
+    dirty = docs.withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") == 2,
+            F.concat(F.col("text"), F.lit(" mail me at a@b.io")),
+        ).otherwise(F.col("text")),
+    )
+    scrubbed = run_corpus_pipeline(
+        spark, dirty, near_dup=False, scrub_pii=True
+    ).kept
+    t2 = scrubbed.filter("doc_id = 2").collect()[0]["text"]
+    assert t2.endswith(" mail me at <EMAIL>")
