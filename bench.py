@@ -275,6 +275,30 @@ def main() -> None:
             )
         )
 
+        # line-level dedup (CCNet): synthesize 3-line docs from the
+        # corpus (own prefix + shared boilerplate + rotating prefix)
+        # so the keeper election sees a genuinely hot line
+        _line_docs = corpus_docs.select(
+            "doc_id",
+            FS.concat_ws(
+                "\n",
+                FS.col("text"),
+                FS.lit("please subscribe to our newsletter today"),
+                FS.concat_ws(
+                    " ",
+                    FS.slice(
+                        FS.split(FS.trim(FS.col("text")), r"\s+"), 1, 8
+                    ),
+                ),
+            ).alias("text"),
+        )
+        benches.append(
+            (
+                "dedup_lines",
+                lambda: _materialize(DD.dedup_lines(_line_docs)),
+            )
+        )
+
         # incremental near-dup per-batch latency (round-4): the store is
         # built once in setup (history = the full documents table); the
         # benchmark measures ONE delta batch (500 docs = exact copies of

@@ -154,6 +154,14 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     ap.add_argument("--decontam-ngram", type=int, default=8,
                     help="with --decontam: contamination n-gram size "
                     "(default 8 words)")
+    ap.add_argument("--line-dedup", action="store_true",
+                    help="with --curate: CCNet-style duplicated-line "
+                    "removal on raw text before any other stage. "
+                    "Lines are compared NORMALIZED (lowercase, digits "
+                    "stripped — 'page 3 of 10' == 'page 7 of 10'); "
+                    "the first occurrence (min (doc_id, position)) "
+                    "keeps its original text, fully-hollowed docs are "
+                    "dropped")
     ap.add_argument("--scrub-pii", action="store_true",
                     help="with --curate: regex-redact emails/IPv4/"
                     "phone numbers in the kept corpus (final stage, "
@@ -459,6 +467,7 @@ def _run_curation(args, stop_session: bool) -> None:
             ),
             decontam_ngram=args.decontam_ngram,
             scrub_pii=args.scrub_pii,
+            line_dedup=args.line_dedup,
             near_dup=True,
             jaccard_threshold=args.jaccard,
             repetition_thresholds=(

@@ -752,3 +752,126 @@ def winnow_containment_pairs(
         .filter(F.col("containment") >= containment_threshold)
         .select("id_inner", "id_outer", "containment")
     )
+
+
+def dedup_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    min_count: int = 2,
+    normalize: bool = False,
+    keep_empty: bool = True,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style line-level dedup: remove every line that
+    occurs ``min_count``+ times across the corpus, keeping only its
+    FIRST occurrence (min ``(doc_id, position)`` — deterministic; note
+    string ids order lexicographically), then reassemble each doc.
+
+    Reference scope note: the reference (guilopgar/ner-linking-demo)
+    has no corpus layer; this is the line-dedup pass of the published
+    web-curation pipelines (CCNet removes duplicated paragraphs before
+    LM filtering; RefinedWeb/Dolma drop repeated boilerplate lines),
+    SURVEY.md §2.11.
+
+    Scale shape (the part that matters at 10^12 docs):
+
+    - **Keeper election is payload-free and skew-immune**: the groupBy
+      runs on ``(md5(line) -> min(struct(id, pos)), count)`` — line
+      TEXT never enters that shuffle, and partial aggregation (map-side
+      combine) collapses a line occurring millions of times ("subscribe
+      to our newsletter") to one row per input partition BEFORE the
+      exchange, so hot boilerplate cannot skew a reducer. A window
+      (``row_number over partitionBy(hash)``) would put every copy of
+      the hot line in one partition — that form is deliberately NOT
+      used.
+    - Only hashes with ``count >= min_count`` survive the filter, so
+      the join-back build side holds duplicated lines only (on web
+      corpora a small fraction of distinct lines).
+    - The line stream carries text through exactly two exchanges: the
+      join back on the hash and the final per-doc reassembly.
+    - md5 (128-bit), not xxhash64: at corpus scale 64-bit line-hash
+      collisions are statistically certain and each one silently
+      deletes an innocent distinct line.
+
+    ``normalize`` hashes a canonical form (lowercase, digits stripped,
+    whitespace collapsed) so "Page 3 of 10" == "page 7 of 10" — the
+    CCNet normalization — while the OUTPUT keeps original line text
+    (the keeper occurrence is emitted verbatim). ``keep_empty=False``
+    drops docs whose every line was removed. Returns
+    ``(id, text, n_lines, n_lines_removed)``.
+    """
+    canon = F.col("line")
+    if normalize:
+        canon = F.regexp_replace(
+            F.trim(F.regexp_replace(F.lower(canon), r"\d+", "")),
+            r"\s+",
+            " ",
+        )
+    lines = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.split(
+                F.coalesce(F.col(text_col), F.lit("")), F.lit(sep), -1
+            )
+        ).alias("pos", "line"),
+    ).withColumn(
+        # blank lines (and, under normalize, digits-only lines) are
+        # EXEMPT: h = NULL never equi-joins, so they always survive —
+        # corpus-wide blank-line dedup would mangle every doc's layout
+        "h",
+        F.when(F.trim(canon) != "", F.md5(canon)),
+    )
+    keepers = (
+        lines.filter(F.col("h").isNotNull())
+        .select("h", F.struct("id", "pos").alias("occ"))
+        .groupBy("h")
+        .agg(
+            F.min("occ").alias("keeper"),
+            F.count(F.lit(1)).alias("occ_count"),
+        )
+        .filter(F.col("occ_count") >= min_count)
+        .select("h", "keeper")
+    )
+    # flag instead of filter: ONE groupBy(id) then reassembles AND
+    # counts totals (collect_list skips the NULL structs of removed
+    # lines), so a fully-removed doc still comes out and the plan pays
+    # exactly three exchanges — keeper agg (payload-free), join back,
+    # reassembly — with no extra per-doc counting pass
+    flagged = lines.join(keepers, "h", "left").withColumn(
+        "keep",
+        F.col("keeper").isNull()
+        | (
+            (F.col("id") == F.col("keeper.id"))
+            & (F.col("pos") == F.col("keeper.pos"))
+        ),
+    )
+    out = (
+        flagged.groupBy("id")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(F.col("keep"), F.struct("pos", "line"))
+                        )
+                    ),
+                    lambda s: s["line"],
+                ),
+            ).alias(text_col),
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum(F.col("keep").cast("int")).alias("n_kept"),
+        )
+        .select(
+            F.col("id").alias(id_col),
+            text_col,
+            "n_lines",
+            (F.col("n_lines") - F.col("n_kept")).alias(
+                "n_lines_removed"
+            ),
+        )
+    )
+    if not keep_empty:
+        out = out.filter(F.col(text_col) != "")
+    return out

@@ -66,6 +66,8 @@ def run_corpus_pipeline(
     lang_allow: tuple[str, ...] | None = None,
     min_quality: float | None = None,
     min_tokens: int | None = None,
+    line_dedup: bool = False,
+    line_dedup_min_count: int = 2,
     near_dup: bool = True,
     n_hashes: int = 16,
     bands: int = 4,
@@ -105,6 +107,10 @@ def run_corpus_pipeline(
     KEPT corpus as the final stage (after dedup, so near-dup detection
     sees original text, and redaction tokens can't create artificial
     near-dups);
+    ``line_dedup`` runs CCNet-style duplicated-line removal (normalized
+    hashing, first occurrence kept, hollowed docs dropped) on the RAW
+    text before any annotation, so boilerplate never distorts the
+    token/quality signals — see ``operators.dedup.dedup_lines``;
     ``domain_cap`` keeps at most that many docs per host (``approx``
     strategy = skew-immune expectation cap, ``exact`` = windowed). ``stats`` records per-stage surviving counts when
     ``collect_stats=True`` — four extra distributed counts per run, so
@@ -138,6 +144,7 @@ def run_corpus_pipeline(
         decontam_sig = eval_set_fingerprint(eval_grams, decontam_ngram)
     conf = (
         f"{lang_allow}|{min_quality}|{min_tokens}|{near_dup}|{n_hashes}"
+        f"|{line_dedup}:{line_dedup_min_count if line_dedup else ''}"
         f"|{bands}|{shingle_size}|{jaccard_threshold}"
         # scrub_pii is deliberately NOT in the signature: redaction is
         # applied AFTER the last checkpointed stage (on the loaded kept
@@ -151,6 +158,25 @@ def run_corpus_pipeline(
     stats: dict[str, int] = {}
     if collect_stats:
         stats["input"] = docs.count()
+
+    if line_dedup:
+        # CCNet order: line-level dedup runs FIRST, on raw text, so
+        # boilerplate lines never distort the downstream token/quality
+        # annotations or near-dup signatures. The operator returns
+        # (id, text, counts) only — join the deduped text back onto the
+        # doc metadata (one equi-join on id; the heavy lifting is the
+        # skew-immune keeper election inside dedup_lines).
+        from ..operators.dedup import dedup_lines as _dedup_lines
+
+        deduped = _dedup_lines(
+            docs,
+            id_col=id_col,
+            text_col=text_col,
+            min_count=line_dedup_min_count,
+            normalize=True,
+            keep_empty=False,
+        ).select(id_col, text_col)
+        docs = docs.drop(text_col).join(deduped, id_col)
 
     ann = annotate_docs(docs, text_col)
     cond = F.lit(True)

@@ -403,7 +403,7 @@ def a6_topk_count_sum(spark, sf_dir):
     return top.agg(F.sum("cnt").cast("long").alias("top3_total"))
 
 
-@q(
+@q_retired(
     "a3_log_prob_product",
     """
     SELECT l_orderkey,
@@ -411,6 +411,11 @@ def a6_topk_count_sum(spark, sf_dir):
     FROM lineitem GROUP BY l_orderkey
     """,
 )
+# rotated to RETIRED in round 4 (5th rotation) to free a driver slot
+# for dedup_lines: the A3 prob-product reduce stays driver-covered
+# in-window — it runs inside the kg_detect_mentions_iob and _multitype
+# chains (token_classifier.py log-prob products), and the identical
+# oracle compare runs in tests/test_retired_entries.py
 def a3_log_prob_product(spark, sf_dir):
     """A3 probability-product aggregation (subtoken->word prob reduce):
     product via exp(sum(log)) — groups are small so float error is
@@ -1054,6 +1059,79 @@ def pii_redact(spark, sf_dir):
     return PII.scrub_pii(planted, keep_counts=True).select(
         "doc_id", "text", "n_email", "n_ipv4", "n_phone"
     )
+
+
+@q(
+    "dedup_lines",
+    r"""
+    WITH base AS (
+      SELECT doc_id,
+             array_to_string(
+               list_slice(regexp_extract_all(trim(text), '\S+'), 1, 6),
+               ' ') AS l6
+      FROM documents WHERE doc_id < 120
+    ),
+    built AS (
+      SELECT b.doc_id,
+             [b.l6, 'please subscribe to our newsletter today',
+              m.l6] AS ls
+      FROM base b JOIN base m ON m.doc_id = b.doc_id % 10
+    ),
+    lns AS (
+      SELECT doc_id, g.i - 1 AS pos, ls[g.i] AS line
+      FROM built CROSS JOIN generate_series(1, 3) AS g(i)
+    ),
+    marked AS (
+      SELECT doc_id, pos, line,
+             (count(*) OVER (PARTITION BY line) < 2
+              OR row_number() OVER (
+                   PARTITION BY line ORDER BY doc_id, pos) = 1) AS keep
+      FROM lns
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(line, chr(10) ORDER BY pos)
+                    FILTER (WHERE keep), '') AS text,
+           CAST(count(*) AS BIGINT) AS n_lines,
+           CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_lines_removed
+    FROM marked GROUP BY doc_id
+    """,
+)
+def dedup_lines(spark, sf_dir):
+    """CCNet-style line-level dedup (SURVEY §2.11): build 3-line docs
+    from the word salads — own 6-word prefix, a shared boilerplate
+    line, and the 6-word prefix of doc (id % 10) — so the fixture has
+    a corpus-wide hot line (the boilerplate, kept only at its (0,1)
+    occurrence), cross-doc duplicate lines (every doc >= 10 repeats a
+    doc-0..9 prefix), and within-doc duplicates (docs 0..9 repeat
+    their own first line). Keeper = min (doc_id, pos); the oracle
+    recomputes it with a window over the raw line text, which also
+    cross-checks the operator's md5 carrier. Payload-free skew-immune
+    keeper aggregation, three exchanges total (plan-tested in
+    tests/test_dedup.py)."""
+    d = _t(spark, sf_dir, "documents").filter("doc_id < 120")
+    base = d.select(
+        "doc_id",
+        F.concat_ws(" ", F.slice(TA.tokens(F.col("text")), 1, 6)).alias(
+            "l6"
+        ),
+    )
+    m = base.select(
+        F.col("doc_id").alias("m_id"), F.col("l6").alias("m_l6")
+    )
+    built = (
+        base.join(m, base["doc_id"] % 10 == m["m_id"])
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.col("l6"),
+                F.lit("please subscribe to our newsletter today"),
+                F.col("m_l6"),
+            ).alias("text"),
+        )
+    )
+    return DD.dedup_lines(built)
 
 
 @q(

@@ -202,3 +202,32 @@ def test_decontam_and_scrub_stages(spark, docs):
     ).kept
     t2 = scrubbed.filter("doc_id = 2").collect()[0]["text"]
     assert t2.endswith(" mail me at <EMAIL>")
+
+
+def test_line_dedup_stage(spark):
+    """line_dedup=True removes the shared boilerplate line from all but
+    its first occurrence BEFORE annotation (n_tokens reflects the
+    deduped text), preserves metadata columns, and drops hollowed
+    docs."""
+    rows = [
+        (0, "https://a.example.com/0",
+         "unique zero text here\nplease subscribe today"),
+        (1, "https://a.example.com/1",
+         "unique one text here\nplease subscribe today"),
+        (2, "https://a.example.com/2", "please subscribe today"),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, url string, text string"
+    )
+    out = run_corpus_pipeline(
+        spark, docs, near_dup=False, line_dedup=True
+    ).kept
+    got = {r["doc_id"]: r for r in out.collect()}
+    # doc 0 keeps both lines; doc 1 loses the boilerplate; doc 2 is
+    # fully hollowed (its only line's keeper is doc 0) and dropped
+    assert set(got) == {0, 1}
+    assert got[0]["text"] == rows[0][2]
+    assert got[1]["text"] == "unique one text here"
+    # url metadata survives the join-back; n_tokens is POST-dedup
+    assert got[1]["url"] == rows[1][1]
+    assert got[1]["n_tokens"] == 4

@@ -231,3 +231,109 @@ def test_winnow_containment_min_fps_floor(spark):
     # unless they genuinely retain >= min_fps discriminative fps
     for r in got:
         assert r["id_inner"] in (100, 101) and r["id_outer"] in (100, 101)
+
+
+# ---------------------------------------------------------------------------
+# line-level dedup (CCNet-style)
+# ---------------------------------------------------------------------------
+
+
+def _line_docs(spark):
+    rows = [
+        (0, "unique zero\nsubscribe now\nshared tail"),
+        (1, "unique one\nsubscribe now\nshared tail"),
+        (2, "subscribe now\nunique two"),
+        (3, "solo doc with one line"),
+        (4, "repeat me\nrepeat me\nrepeat me"),   # within-doc dups
+        (5, "\n\nunique five\n\n"),               # blank lines exempt
+        (6, None),                                 # NULL text
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    from ner_linking_demo_spark.operators.dedup import dedup_lines
+
+    out = {
+        r["doc_id"]: r
+        for r in dedup_lines(_line_docs(spark)).collect()
+    }
+    # first occurrence = min (doc_id, pos): doc 0 keeps everything
+    assert out[0]["text"] == "unique zero\nsubscribe now\nshared tail"
+    assert out[0]["n_lines_removed"] == 0
+    # later occurrences of both shared lines removed
+    assert out[1]["text"] == "unique one"
+    assert out[1]["n_lines_removed"] == 2
+    assert out[2]["text"] == "unique two"
+    assert out[3]["text"] == "solo doc with one line"
+    # within-doc duplicates: first copy survives
+    assert out[4]["text"] == "repeat me"
+    assert out[4]["n_lines_removed"] == 2
+    # blank lines are exempt (layout preserved), never deduped
+    assert out[5]["text"] == "\n\nunique five\n\n"
+    assert out[5]["n_lines_removed"] == 0
+    # NULL text -> one empty (exempt) line, doc survives
+    assert out[6]["text"] == "" and out[6]["n_lines"] == 1
+    assert len(out) == 7
+
+
+def test_dedup_lines_fully_removed_doc(spark):
+    from ner_linking_demo_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(0, "dup a\ndup b"), (1, "dup a\ndup b"), (2, "dup b")],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert out[0]["text"] == "dup a\ndup b"
+    # docs 1 and 2 lose every line but still come out (keep_empty)
+    assert out[1]["text"] == "" and out[1]["n_lines_removed"] == 2
+    assert out[2]["text"] == "" and out[2]["n_lines_removed"] == 1
+    kept = dedup_lines(docs, keep_empty=False)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [0]
+
+
+def test_dedup_lines_normalize_and_min_count(spark):
+    from ner_linking_demo_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(0, "Page 3 of 10\nkeep a"), (1, "page 7 of 10\nkeep b")],
+        "doc_id long, text string",
+    )
+    # raw: the two page lines differ -> nothing removed
+    raw = {r["doc_id"]: r for r in dedup_lines(docs).collect()}
+    assert raw[0]["n_lines_removed"] == raw[1]["n_lines_removed"] == 0
+    # normalized (lowercase, digits stripped): they collide; the
+    # ORIGINAL text of the keeper is emitted, not the canonical form
+    norm = {
+        r["doc_id"]: r
+        for r in dedup_lines(docs, normalize=True).collect()
+    }
+    assert norm[0]["text"] == "Page 3 of 10\nkeep a"
+    assert norm[1]["text"] == "keep b"
+    # min_count=3: pairs are no longer "duplicated enough"
+    mc = {
+        r["doc_id"]: r
+        for r in dedup_lines(docs, normalize=True, min_count=3).collect()
+    }
+    assert mc[1]["n_lines_removed"] == 0
+
+
+def test_dedup_lines_keeper_agg_is_payload_free(spark):
+    """Plan shape: the keeper-election aggregate must be partial
+    (map-side combine before the exchange) and must not carry the line
+    text; only the join back and reassembly shuffle text."""
+    from ner_linking_demo_spark.operators.dedup import dedup_lines
+
+    plan = (
+        dedup_lines(_line_docs(spark))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # partial agg: HashAggregate(keys=[h...], functions=[partial_min...
+    assert "partial_min" in plan and "partial_count" in plan
+    # at most three shuffles: keeper agg (payload-free), join back
+    # (none when the keeper set broadcasts), single reassembly-and-
+    # count groupBy — never an extra per-doc count pass
+    assert plan.count("Exchange hashpartitioning") <= 3

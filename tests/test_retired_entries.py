@@ -28,6 +28,7 @@ def duck():
 def test_retired_registry_holds_the_rotated_entries():
     assert sorted(q.name for q in RETIRED) == [
         "a2_group_concat",
+        "a3_log_prob_product",
         "a6_topk_count_sum",
         "ann_bruteforce_topk",
         "ann_lsh_topk",

@@ -354,6 +354,22 @@ def main() -> int:
         nodes(p, "Exchange") == 0 and "ArrowEvalPython" in p,
     )
 
+    # line-level dedup: keeper election must be a payload-free partial
+    # aggregate (map-side combine absorbs hot boilerplate lines before
+    # the exchange) and the whole plan pays exactly three exchanges
+    from ner_linking_demo_spark.operators.dedup import dedup_lines
+
+    # <= 3 shuffle exchanges: keeper agg, join back, reassembly — and
+    # when stats let Catalyst broadcast the (duplicates-only) keeper
+    # set, the join back costs no shuffle at all and it drops to 2
+    p = plan_of(dedup_lines(docs))
+    n_ex = nodes(p, "Exchange")
+    failures += not check(
+        "line dedup: partial keeper agg, <= 3 shuffle exchanges",
+        "partial_min" in p and n_ex <= 3,
+        f"(exchanges={n_ex})",
+    )
+
     print(f"\n{failures} failures")
     spark.stop()
     return 1 if failures else 0
