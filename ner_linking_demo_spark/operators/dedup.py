@@ -788,8 +788,9 @@ def dedup_lines(
     - Only hashes with ``count >= min_count`` survive the filter, so
       the join-back build side holds duplicated lines only (on web
       corpora a small fraction of distinct lines).
-    - The line stream carries text through exactly two exchanges: the
-      join back on the hash and the final per-doc reassembly.
+    - The line stream carries text through at most two exchanges — the
+      join back on the hash (none when the keeper set broadcasts) and
+      the final per-doc reassembly.
     - md5 (128-bit), not xxhash64: at corpus scale 64-bit line-hash
       collisions are statistically certain and each one silently
       deletes an innocent distinct line.
@@ -798,8 +799,18 @@ def dedup_lines(
     whitespace collapsed) so "Page 3 of 10" == "page 7 of 10" — the
     CCNet normalization — while the OUTPUT keeps original line text
     (the keeper occurrence is emitted verbatim). ``keep_empty=False``
-    drops docs whose every line was removed. Returns
-    ``(id, text, n_lines, n_lines_removed)``.
+    drops HOLLOWED docs: docs that had at least one dedupable
+    (non-blank) line and lost every one of them — an originally empty
+    or blank-only doc was never touched by dedup and is always kept.
+    Returns ``(id, text, n_lines, n_lines_removed)``.
+
+    PRECONDITION: ``id_col`` must be unique per input row. Rows sharing
+    an id have their lines reassembled into ONE interleaved output row
+    (groupBy semantics) — callers with refetched urls etc. must
+    uniquify first (composite id or content-addressed id).
+
+    ``sep`` is treated as a LITERAL separator on both the split and the
+    rejoin (regex metacharacters are escaped before the split).
     """
     canon = F.col("line")
     if normalize:
@@ -808,11 +819,17 @@ def dedup_lines(
             r"\s+",
             " ",
         )
+    import re as _re
+
     lines = docs.select(
         F.col(id_col).alias("id"),
         F.posexplode(
+            # F.split takes a REGEX; escape so sep='.' or '|' splits
+            # literally, matching the literal concat_ws on the rejoin
             F.split(
-                F.coalesce(F.col(text_col), F.lit("")), F.lit(sep), -1
+                F.coalesce(F.col(text_col), F.lit("")),
+                F.lit(_re.escape(sep)),
+                -1,
             )
         ).alias("pos", "line"),
     ).withColumn(
@@ -862,6 +879,9 @@ def dedup_lines(
             ).alias(text_col),
             F.count(F.lit(1)).alias("n_lines"),
             F.sum(F.col("keep").cast("int")).alias("n_kept"),
+            F.sum(F.col("h").isNotNull().cast("int")).alias(
+                "n_dedupable"
+            ),
         )
         .select(
             F.col("id").alias(id_col),
@@ -870,8 +890,15 @@ def dedup_lines(
             (F.col("n_lines") - F.col("n_kept")).alias(
                 "n_lines_removed"
             ),
+            "n_dedupable",
         )
     )
     if not keep_empty:
-        out = out.filter(F.col(text_col) != "")
-    return out
+        # hollowed = had dedupable lines and lost them ALL; an
+        # originally empty/blank-only doc (n_dedupable = 0) was never
+        # touched and is kept, independent of its blank-line count
+        out = out.filter(
+            (F.col("n_dedupable") == 0)
+            | (F.col("n_lines_removed") < F.col("n_dedupable"))
+        )
+    return out.drop("n_dedupable")

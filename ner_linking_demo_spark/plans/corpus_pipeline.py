@@ -113,7 +113,9 @@ def run_corpus_pipeline(
     token/quality signals — see ``operators.dedup.dedup_lines``;
     ``domain_cap`` keeps at most that many docs per host (``approx``
     strategy = skew-immune expectation cap, ``exact`` = windowed). ``stats`` records per-stage surviving counts when
-    ``collect_stats=True`` — four extra distributed counts per run, so
+    ``collect_stats=True`` — up to five extra distributed counts per
+    run (input / after_line_dedup / after_filter / after_exact / kept),
+    so
     the throughput path defaults them OFF (checkpointed runs get the
     same numbers for free from the lineage log; ad-hoc diagnostics can
     opt in)."""
@@ -177,6 +179,8 @@ def run_corpus_pipeline(
             keep_empty=False,
         ).select(id_col, text_col)
         docs = docs.drop(text_col).join(deduped, id_col)
+        if collect_stats:
+            stats["after_line_dedup"] = docs.count()
 
     ann = annotate_docs(docs, text_col)
     cond = F.lit(True)

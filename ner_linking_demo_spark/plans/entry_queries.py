@@ -1082,8 +1082,13 @@ def pii_redact(spark, sf_dir):
       FROM built CROSS JOIN generate_series(1, 3) AS g(i)
     ),
     marked AS (
+      -- trim(line) = '' mirrors the operator's blank-line exemption
+      -- (exempt lines are ALWAYS kept, never elected against); the
+      -- current fixture has no blank l6, but the oracle must encode
+      -- the operator's full semantics, not the fixture's accidents
       SELECT doc_id, pos, line,
-             (count(*) OVER (PARTITION BY line) < 2
+             (trim(line) = ''
+              OR count(*) OVER (PARTITION BY line) < 2
               OR row_number() OVER (
                    PARTITION BY line ORDER BY doc_id, pos) = 1) AS keep
       FROM lns

@@ -293,6 +293,64 @@ def test_dedup_lines_fully_removed_doc(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [0]
 
 
+def test_dedup_lines_metachar_separator(spark):
+    """sep is a LITERAL on both sides: '.' must not regex-split every
+    character."""
+    from ner_linking_demo_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [(0, "dup seg.unique a"), (1, "dup seg.unique b")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r for r in dedup_lines(docs, sep=".").collect()
+    }
+    assert out[0]["text"] == "dup seg.unique a"
+    assert out[1]["text"] == "unique b"
+    assert out[0]["n_lines"] == 2  # NOT one "line" per character
+
+
+def test_dedup_lines_keep_empty_semantics(spark):
+    """keep_empty=False drops HOLLOWED docs only: an originally empty
+    (or blank-only) doc was never touched by dedup and always stays;
+    a doc hollowed down to blank lines is dropped regardless of how
+    many blanks it had."""
+    from ner_linking_demo_spark.operators.dedup import dedup_lines
+
+    docs = spark.createDataFrame(
+        [
+            (0, "dup x\ndup y"),      # keeper doc: keeps everything
+            (1, "dup x\ndup y"),      # hollowed, no blanks
+            (2, "dup x\n\n\ndup y"),  # hollowed, 2 blanks survive
+            (3, "dup x\nown"),        # partially deduped -> stays
+            (4, ""),                  # originally empty -> stays
+            (5, "\n\n"),              # blank-only -> stays
+            (6, None),                # NULL -> empty line -> stays
+        ],
+        "doc_id long, text string",
+    )
+    kept = {
+        r["doc_id"]: r
+        for r in dedup_lines(docs, keep_empty=False).collect()
+    }
+    # 1 AND 2 drop (hollowed, with or without surviving blanks);
+    # the never-dedupable docs 4/5/6 all stay
+    assert set(kept) == {0, 3, 4, 5, 6}
+    assert kept[3]["text"] == "own"
+    assert kept[4]["text"] == "" and kept[4]["n_lines_removed"] == 0
+    assert kept[5]["text"] == "\n\n"
+    # and with keep_empty=True the hollowed docs come back
+    all_out = {
+        r["doc_id"]: r for r in dedup_lines(docs).collect()
+    }
+    assert all_out[1]["text"] == ""
+    assert all_out[2]["text"] == "\n"  # the two blanks, rejoined
+    # schema is unchanged by the fix (no helper column leaks)
+    assert dedup_lines(docs).columns == [
+        "doc_id", "text", "n_lines", "n_lines_removed",
+    ]
+
+
 def test_dedup_lines_normalize_and_min_count(spark):
     from ner_linking_demo_spark.operators.dedup import dedup_lines
 
