@@ -299,6 +299,20 @@ def main() -> None:
             )
         )
 
+        # deterministic corpus mixing (round-4 session 4): weight-2.5
+        # upsample of the full documents table — 2 full copies + a
+        # 0.5-rate third, one scan, zero exchange
+        from ner_linking_demo_spark.operators.mixing import upsample
+
+        benches.append(
+            (
+                "corpus_mix",
+                lambda: _materialize(
+                    upsample(corpus_docs, 2.5, seed="bench")
+                ),
+            )
+        )
+
         # incremental near-dup per-batch latency (round-4): the store is
         # built once in setup (history = the full documents table); the
         # benchmark measures ONE delta batch (500 docs = exact copies of

@@ -26,6 +26,7 @@ from ..functions import pii as PII
 from ..functions import text_analysis as TA
 from ..operators import decontamination as DC
 from ..operators import dedup as DD
+from ..operators import mixing as MIX
 from ..operators import similarity as SIM
 
 
@@ -136,7 +137,7 @@ def j1_revenue_by_nation(spark, sf_dir):
     )
 
 
-@q(
+@q_retired(
     "j4_part_lookup",
     """
     SELECT p.p_type AS p_type,
@@ -145,6 +146,12 @@ def j1_revenue_by_nation(spark, sf_dir):
     GROUP BY p.p_type
     """,
 )
+# rotated to RETIRED in round 4 (6th rotation) to free a driver slot
+# for corpus_mix_sample: the J4 broadcast dictionary-lookup family
+# stays driver-covered in-window — every kg chain entry
+# (kg_link_mentions, kg_triples_e2e, j8_parent_expansion) runs
+# broadcast term/vocab lookups on its hot path — and the identical
+# oracle compare runs in tests/test_retired_entries.py
 def j4_part_lookup(spark, sf_dir):
     """J4 broadcast dictionary lookup: fact x broadcast(dim)."""
     li = _t(spark, sf_dir, "lineitem")
@@ -1137,6 +1144,48 @@ def dedup_lines(spark, sf_dir):
         )
     )
     return DD.dedup_lines(built)
+
+
+@q(
+    "corpus_mix_sample",
+    """
+    WITH m AS (
+      SELECT 'main' AS source, doc_id, g.i AS copy,
+             substring(md5('mix|main|' || CAST(g.i AS VARCHAR) || '|'
+                           || CAST(doc_id AS VARCHAR)), 1, 12) AS h
+      FROM documents CROSS JOIN generate_series(0, 1) AS g(i)
+      WHERE doc_id < 400
+    ),
+    a AS (
+      SELECT 'aux' AS source, doc_id, 0 AS copy,
+             substring(md5('mix|aux|0|' || CAST(doc_id AS VARCHAR)),
+                       1, 12) AS h
+      FROM documents WHERE doc_id >= 400 AND doc_id < 600
+    )
+    SELECT source, doc_id, CAST(copy AS INT) AS copy FROM (
+      SELECT * FROM m WHERE copy < 1 OR h < '{THR_06}'
+      UNION ALL
+      SELECT * FROM a WHERE h < '{THR_05}'
+    )
+    """.replace("{THR_06}", MIX.rate_threshold(1.6 - 1))
+    .replace("{THR_05}", MIX.rate_threshold(0.5)),
+)
+def corpus_mix_sample(spark, sf_dir):
+    """Deterministic training-mixture assembly (SURVEY §2.11): source
+    'main' (docs < 400) at weight 1.6 — one full copy plus a 0.6-rate
+    second copy — and 'aux' (400 <= docs < 600) at 0.5. Membership is
+    md5(seed|copy|id) hex-threshold, so the oracle recomputes the EXACT
+    member set — the determinism claim (same sample on any run, any
+    partitioning, any engine) IS the thing being hash-checked. The
+    fractional threshold is computed ONCE in Python and inlined into
+    both engines, so float quirks (1.6 - 1 = 0.6000...01) cannot
+    diverge. Zero-exchange scan projection (plan-audited in tests)."""
+    d = _t(spark, sf_dir, "documents")
+    main = d.filter("doc_id < 400")
+    aux = d.filter("doc_id >= 400 AND doc_id < 600")
+    return MIX.mix_corpora(
+        {"main": (main, 1.6), "aux": (aux, 0.5)}, seed="mix"
+    ).select("source", "doc_id", F.col("copy").cast("int").alias("copy"))
 
 
 @q(

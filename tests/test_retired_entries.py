@@ -34,6 +34,7 @@ def test_retired_registry_holds_the_rotated_entries():
         "ann_lsh_topk",
         "cand_term_avg",
         "dedup_minhash_signature",
+        "j4_part_lookup",
         "kg_detect_mentions",
         "kg_detect_mentions_crf",
         "kg_detect_mentions_ensemble",
