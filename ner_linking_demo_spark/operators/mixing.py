@@ -10,7 +10,12 @@ sampling proportions): a weight of 1.6 means every doc appears once and
 non-reproducible (seeded per-partition RNG changes with partitioning);
 here membership is a PURE FUNCTION of (seed, copy, doc id):
 
-    keep(copy c)  <=>  md5(seed|c|id)[:12]  <  hex(rate * 16^12)
+    keep(copy c)  <=>  md5(md5(seed) . c . md5(id))[:12]  <  hex(rate * 16^12)
+
+(The variable-length fields enter the draw as FIXED-WIDTH md5 hex, so
+no (seed, copy, id) triple can collide with another by boundary
+ambiguity — a plain "seed|copy|id" join would let seed="s|1", id="5"
+alias seed="s", id="1|5" and correlate draws that must be independent.)
 
 - **Deterministic and engine-portable**: fixed-width lowercase hex
   compares exactly like the underlying 48-bit integer, and DuckDB/any
@@ -33,12 +38,19 @@ different batches, not adjacent).
 
 from __future__ import annotations
 
+import hashlib
 import math
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 _HEX_WIDTH = 12  # 48 bits
+
+
+def seed_hex(seed: str) -> str:
+    """Fixed-width (32 hex) digest of a seed string — the form the
+    seed enters every draw as."""
+    return hashlib.md5(seed.encode("utf-8")).hexdigest()
 
 
 def rate_threshold(rate: float) -> str:
@@ -57,12 +69,16 @@ def rate_threshold(rate: float) -> str:
 
 
 def hash_fraction_hex(id_col: Column, seed: str, copy: Column) -> Column:
-    """First 12 hex chars of md5(seed|copy|id) — the doc's deterministic
-    uniform draw for this (seed, copy)."""
+    """First 12 hex chars of md5(md5(seed) . copy . md5(id)) — the
+    doc's deterministic uniform draw for this (seed, copy). seed and id
+    enter as fixed-width md5 hex so arbitrary strings (pipes included)
+    can never alias another (seed, copy, id) triple."""
     return F.substring(
         F.md5(
-            F.concat_ws(
-                "|", F.lit(seed), copy.cast("string"), id_col.cast("string")
+            F.concat(
+                F.lit(seed_hex(seed)),
+                copy.cast("string"),
+                F.md5(id_col.cast("string")),
             )
         ),
         1,
@@ -102,13 +118,29 @@ def upsample(
     sample; weight must be positive and finite."""
     if weight <= 0 or not math.isfinite(weight):
         raise ValueError(f"weight must be positive finite, got {weight}")
+    if copy_col in docs.columns:
+        raise ValueError(
+            f"docs already has a {copy_col!r} column — pass a different "
+            "copy_col (or drop/rename it) so the copy tag is unambiguous"
+        )
     full = int(weight)
     frac = weight - full
+    src = docs.filter(F.col(id_col).isNotNull())
+    if frac == 0.0:
+        # integer weight (1.0 is the most common mixture weight): no
+        # fractional copy exists, so skip both the extra exploded row
+        # and the per-row hash that could never pass
+        return src.select(
+            "*",
+            F.explode(F.sequence(F.lit(0), F.lit(full - 1))).alias(
+                copy_col
+            ),
+        )
     thr = rate_threshold(frac)
     copies = F.explode(
         F.sequence(F.lit(0), F.lit(full))  # 0..full inclusive
     ).alias(copy_col)
-    out = docs.filter(F.col(id_col).isNotNull()).select("*", copies)
+    out = src.select("*", copies)
     # copy `full` is the fractional one; copies 0..full-1 always keep.
     # (when weight < 1, full == 0 and EVERY row is the fractional copy)
     return out.filter(
@@ -128,19 +160,29 @@ def mix_corpora(
     copy_col: str = "copy",
 ) -> DataFrame:
     """Weighted union of named sources: each source is upsampled to its
-    weight (per-source seed = ``seed|name`` so identical ids in two
-    sources draw independently), tagged with ``source_col``, and
-    unioned by name. One scan per source, zero exchanges (the union is
-    a plan concatenation, not a shuffle)."""
+    weight (per-source seed = ``md5(seed) . name`` — the fixed-width
+    seed digest makes the composition unambiguous for ANY name, so
+    identical ids in two sources draw independently), tagged with
+    ``source_col``, and unioned by name. One scan per source, zero
+    exchanges (the union is a plan concatenation, not a shuffle).
+    Refuses inputs that already carry ``source_col``/``copy_col`` —
+    silently clobbering real provenance metadata is worse than asking
+    the caller to rename."""
     if not sources:
         raise ValueError("sources must be non-empty")
     legs = []
     for name, (df, weight) in sources.items():
+        if source_col in df.columns:
+            raise ValueError(
+                f"source {name!r} already has a {source_col!r} column — "
+                "pass a different source_col (or drop/rename it) so the "
+                "mixture tag cannot clobber real provenance metadata"
+            )
         legs.append(
             upsample(
                 df,
                 weight,
-                seed=f"{seed}|{name}",
+                seed=f"{seed_hex(seed)}{name}",
                 id_col=id_col,
                 copy_col=copy_col,
             ).withColumn(source_col, F.lit(name))

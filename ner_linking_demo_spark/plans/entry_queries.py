@@ -1150,16 +1150,18 @@ def dedup_lines(spark, sf_dir):
     "corpus_mix_sample",
     """
     WITH m AS (
+      -- the draw: md5(md5(per_source_seed) . copy . md5(id)) — seed
+      -- digests are inlined at registration, matching the Spark side
       SELECT 'main' AS source, doc_id, g.i AS copy,
-             substring(md5('mix|main|' || CAST(g.i AS VARCHAR) || '|'
-                           || CAST(doc_id AS VARCHAR)), 1, 12) AS h
+             substring(md5('{SH_MAIN}' || CAST(g.i AS VARCHAR)
+                           || md5(CAST(doc_id AS VARCHAR))), 1, 12) AS h
       FROM documents CROSS JOIN generate_series(0, 1) AS g(i)
       WHERE doc_id < 400
     ),
     a AS (
       SELECT 'aux' AS source, doc_id, 0 AS copy,
-             substring(md5('mix|aux|0|' || CAST(doc_id AS VARCHAR)),
-                       1, 12) AS h
+             substring(md5('{SH_AUX}' || '0'
+                           || md5(CAST(doc_id AS VARCHAR))), 1, 12) AS h
       FROM documents WHERE doc_id >= 400 AND doc_id < 600
     )
     SELECT source, doc_id, CAST(copy AS INT) AS copy FROM (
@@ -1168,19 +1170,25 @@ def dedup_lines(spark, sf_dir):
       SELECT * FROM a WHERE h < '{THR_05}'
     )
     """.replace("{THR_06}", MIX.rate_threshold(1.6 - 1))
-    .replace("{THR_05}", MIX.rate_threshold(0.5)),
+    .replace("{THR_05}", MIX.rate_threshold(0.5))
+    .replace("{SH_MAIN}", MIX.seed_hex(MIX.seed_hex("mix") + "main"))
+    .replace("{SH_AUX}", MIX.seed_hex(MIX.seed_hex("mix") + "aux")),
 )
 def corpus_mix_sample(spark, sf_dir):
     """Deterministic training-mixture assembly (SURVEY §2.11): source
     'main' (docs < 400) at weight 1.6 — one full copy plus a 0.6-rate
     second copy — and 'aux' (400 <= docs < 600) at 0.5. Membership is
-    md5(seed|copy|id) hex-threshold, so the oracle recomputes the EXACT
+    md5(md5(seed) . copy . md5(id)) hex-threshold (fixed-width fields —
+    boundary-unambiguous for any seed/id), so the oracle recomputes the EXACT
     member set — the determinism claim (same sample on any run, any
     partitioning, any engine) IS the thing being hash-checked. The
     fractional threshold is computed ONCE in Python and inlined into
     both engines, so float quirks (1.6 - 1 = 0.6000...01) cannot
     diverge. Zero-exchange scan projection (plan-audited in tests)."""
-    d = _t(spark, sf_dir, "documents")
+    # the documents fixture carries its own 'source' column, which
+    # mix_corpora refuses to clobber — project to the id first (the
+    # realistic call shape: mix over doc keys, join payload back later)
+    d = _t(spark, sf_dir, "documents").select("doc_id")
     main = d.filter("doc_id < 400")
     aux = d.filter("doc_id >= 400 AND doc_id < 600")
     return MIX.mix_corpora(

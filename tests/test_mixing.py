@@ -25,7 +25,11 @@ def _docs(spark, n=2000):
 
 
 def _py_keep(seed: str, copy: int, doc_id: int, rate: float) -> bool:
-    h = hashlib.md5(f"{seed}|{copy}|{doc_id}".encode()).hexdigest()[:12]
+    """Python mirror of hash_fraction_hex: fixed-width md5 fields make
+    the (seed, copy, id) composition boundary-unambiguous."""
+    sh = hashlib.md5(seed.encode()).hexdigest()
+    ih = hashlib.md5(str(doc_id).encode()).hexdigest()
+    h = hashlib.md5(f"{sh}{copy}{ih}".encode()).hexdigest()[:12]
     return h < rate_threshold(rate)
 
 
@@ -97,6 +101,50 @@ def test_validation(spark):
     assert [
         r["doc_id"] for r in hash_sample(withnull, 1.0).collect()
     ] == [1]
+    # column collisions refuse loudly instead of clobbering/crashing
+    with pytest.raises(ValueError, match="copy"):
+        upsample(docs.withColumn("copy", F.lit(0)), 1.5)
+    with pytest.raises(ValueError, match="provenance"):
+        mix_corpora({"a": (docs.withColumn("source", F.lit("s")), 1.0)})
+
+
+def test_integer_weight_is_exact_and_hashfree(spark):
+    """weight 1.0 / 2.0: exact copies, no fractional leg, and the plan
+    contains no md5 at all (the hash draw is skipped, not just always-
+    false)."""
+    docs = _docs(spark, 300)
+    out = upsample(docs, 2.0, seed="z").collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r["doc_id"], set()).add(r["copy"])
+    assert len(by_doc) == 300
+    assert all(v == {0, 1} for v in by_doc.values())
+    plan = (
+        upsample(docs, 1.0)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "md5" not in plan
+
+
+def test_seed_composition_is_boundary_unambiguous(spark):
+    """The review scenario: sources 'x' (hashing copy 1 of id '0|5')
+    and 'x|1' (copy 0 of id '5') must NOT draw identically — the
+    fixed-width md5 fields prevent 's|x|1|0|5'-style aliasing."""
+    from ner_linking_demo_spark.operators.mixing import hash_fraction_hex
+    from ner_linking_demo_spark.operators.mixing import seed_hex as SH
+
+    df = spark.range(1).select(
+        hash_fraction_hex(
+            F.lit("0|5"), SH("s") + "x", F.lit(1)
+        ).alias("a"),
+        hash_fraction_hex(
+            F.lit("5"), SH("s") + "x|1", F.lit(0)
+        ).alias("b"),
+    )
+    r = df.collect()[0]
+    assert r["a"] != r["b"]
 
 
 def test_mix_is_zero_exchange(spark):
