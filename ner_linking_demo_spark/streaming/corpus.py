@@ -15,6 +15,13 @@ identical MinHash signature (estimated Jaccard 1.0) and a near
 duplicate shares band buckets — both are dropped by the same
 ``est_threshold`` gate, so exact + near dedup against history is one
 mechanism, O(delta) per batch.
+
+Stage parity with the batch composition: line dedup (SHARD-LOCAL — the
+micro-batch is the CCNet processing group; corpus-wide line history is
+deliberately not claimed), the Gopher repetition gate, decontamination
+against an eval set frozen at stream construction, and post-dedup PII
+scrubbing all compose per batch in the same order as
+``run_corpus_pipeline``.
 """
 
 from __future__ import annotations
@@ -37,6 +44,11 @@ def incremental_corpus_pipeline(
     min_quality: float | None = None,
     min_tokens: int | None = None,
     repetition_thresholds: dict[str, float] | None = None,
+    eval_set: DataFrame | None = None,
+    decontam_ngram: int = 8,
+    scrub_pii: bool = False,
+    line_dedup: bool = False,
+    line_dedup_min_count: int = 2,
     n_hashes: int = 16,
     bands: int = 4,
     shingle_size: int = 3,
@@ -53,9 +65,36 @@ def incremental_corpus_pipeline(
     layout = BatchLayout(spark, f"{root}/kept")
     store = SignatureStore(spark, store_dir or f"{root}/_sigstore")
 
+    # eval n-grams are collected ONCE at stream construction (not per
+    # batch): the set is dimension-sized by contract and must be frozen
+    # for the stream's lifetime — a changing eval set mid-stream would
+    # make replayed batches non-idempotent
+    eval_grams: list[str] | None = None
+    if eval_set is not None:
+        from ..operators.decontamination import collect_eval_ngrams
+
+        eval_grams = collect_eval_ngrams(eval_set, n=decontam_ngram)
+
     def process(batch_df: DataFrame, batch_id: int) -> None:
         if layout.has_batch(batch_id):
             return  # replayed batch: already published atomically
+        if line_dedup:
+            # SHARD-LOCAL line dedup (the CCNet shape: dedup within the
+            # processing group, here the micro-batch) — deterministic
+            # per batch content, so replays publish identical results;
+            # corpus-wide line dedup would need a line-hash history
+            # store and is deliberately not claimed here
+            from ..operators.dedup import dedup_lines
+
+            deduped = dedup_lines(
+                batch_df,
+                id_col=id_col,
+                text_col=text_col,
+                min_count=line_dedup_min_count,
+                normalize=True,
+                keep_empty=False,
+            ).select(id_col, text_col)
+            batch_df = batch_df.drop(text_col).join(deduped, id_col)
         ann = annotate_docs(batch_df, text_col)
         cond = F.lit(True)
         if lang_allow is not None:
@@ -74,6 +113,15 @@ def incremental_corpus_pipeline(
                 filtered, text_col=text_col,
                 thresholds=repetition_thresholds,
             )
+        if eval_grams:
+            # same scan-form decontamination as the batch composition
+            from ..operators.decontamination import contamination_flag
+
+            filtered = filtered.filter(
+                ~contamination_flag(
+                    F.col(text_col), eval_grams, n=decontam_ngram
+                )
+            )
         matches = incremental_neardup(
             filtered,
             store,
@@ -89,6 +137,12 @@ def incremental_corpus_pipeline(
             F.col("doc_id").alias(id_col)
         ).distinct()
         kept = filtered.join(dup_ids, id_col, "left_anti")
+        if scrub_pii:
+            # after dedup (signatures saw original text), before the
+            # atomic publish — same stage order as the batch pipeline
+            from ..functions.pii import scrub_pii as _scrub
+
+            kept = _scrub(kept, text_col=text_col)
         layout.publish(kept, batch_id, precheck=False)  # atomic commit
 
     writer = (

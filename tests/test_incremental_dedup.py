@@ -507,3 +507,61 @@ def test_cli_expire_days_rejects_nonpositive(spark, tmp_path):
              "--expire-older-than-days", "-1"],
             stop_session=False,
         )
+
+
+def test_streaming_curation_stage_parity(spark, tmp_path):
+    """The streaming pipeline composes the same session-4 stages as the
+    batch form: shard-local line dedup, decontamination against a
+    frozen eval set, and post-dedup PII scrub — all per micro-batch,
+    replay-idempotent."""
+    import os
+
+    from ner_linking_demo_spark.streaming import incremental_corpus_pipeline
+
+    boiler = "please subscribe to our newsletter today"
+    evalgram = "uno dos tres cuatro cinco seis siete ocho"
+    rows = [
+        (1, f"documento original con palabras suficientes aqui\n{boiler}"),
+        (2, f"otro documento distinto con mas contenido util\n{boiler}"),
+        (3, f"contaminado {evalgram} y algo mas de relleno textual"),
+        (4, "pagina con correo contacto admin@example.org y texto extra "
+            "suficiente para pasar el filtro de tokens minimos"),
+    ]
+    src = str(tmp_path / "src")
+    spark.createDataFrame(rows, ["doc_id", "text"]).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    eval_set = spark.createDataFrame(
+        [(1, evalgram)], "eval_id long, text string"
+    )
+
+    out = str(tmp_path / "out")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    kwargs = dict(
+        out_dir=out, checkpoint_dir=str(tmp_path / "sck"), min_tokens=3,
+        eval_set=eval_set, scrub_pii=True, line_dedup=True,
+    )
+    incremental_corpus_pipeline(spark, stream, **kwargs).awaitTermination(120)
+
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(os.path.join(out, "kept")).collect()
+    }
+    # doc 3 is contamination -> gone; docs 1/2/4 kept
+    assert set(kept) == {1, 2, 4}
+    # shard-local line dedup: boilerplate survives only in doc 1
+    assert boiler in kept[1] and boiler not in kept[2]
+    # PII scrubbed after dedup, before publish
+    assert "<EMAIL>" in kept[4] and "admin@example.org" not in kept[4]
+
+    # replay: identical result (published batch short-circuits)
+    incremental_corpus_pipeline(spark, stream, **kwargs).awaitTermination(120)
+    kept2 = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(os.path.join(out, "kept")).collect()
+    }
+    assert kept2 == kept
