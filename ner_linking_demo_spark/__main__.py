@@ -171,6 +171,27 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     ap.add_argument("--max-tokens", type=int, default=2048,
                     help="with --curate: training-window token budget "
                     "for sequence packing (0 skips packing)")
+    ap.add_argument("--mix-source", action="append", default=None,
+                    metavar="NAME=PATH@WEIGHT",
+                    help="repeatable; with --out: assemble a "
+                    "deterministic training mixture from weighted "
+                    "parquet sources (weight 1.6 = one full copy + a "
+                    "0.6-rate extra copy; membership is a pure "
+                    "function of --mix-seed, copy and the id column, "
+                    "so the mixture is identical on every run and "
+                    "cluster size)")
+    ap.add_argument("--mix-seed", default="",
+                    help="with --mix-source: sampling seed (default "
+                    "empty)")
+    ap.add_argument("--mix-id-col", default="doc_id",
+                    help="with --mix-source: id column the draws key "
+                    "on (default doc_id; NULL ids are dropped)")
+    ap.add_argument("--mix-tag-cols", default="source,copy",
+                    metavar="SOURCE_COL,COPY_COL",
+                    help="with --mix-source: names for the mixture tag "
+                    "columns (default 'source,copy'); pick different "
+                    "names when the inputs already carry columns with "
+                    "these names — the mixer refuses to clobber them")
     ap.add_argument("--rank-entities", action="store_true",
                     help="graph-analytics run: read a KG edges parquet "
                     "(--edges, columns src/dst[/rel]) and write "
@@ -258,6 +279,43 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
                 "checkpoint snapshot retention uses --keep-last"
             )
         _run_maintenance(args, stop_session)
+        return
+    if args.mix_source:
+        if args.out is None:
+            ap.error("--out is required for --mix-source")
+        if args.curate or args.rank_entities:
+            ap.error(
+                "--mix-source is its own mode — run --curate/"
+                "--rank-entities separately"
+            )
+        # parse + validate EVERY spec before any Spark session starts
+        specs: dict[str, tuple[str, float]] = {}
+        for raw in args.mix_source:
+            try:
+                name, rest = raw.split("=", 1)
+                path, w = rest.rsplit("@", 1)
+                weight = float(w)
+            except ValueError:
+                ap.error(
+                    f"bad --mix-source {raw!r}: expected NAME=PATH@WEIGHT"
+                )
+            if not name or not path:
+                ap.error(f"bad --mix-source {raw!r}: empty name or path")
+            if name in specs:
+                ap.error(f"duplicate --mix-source name {name!r}")
+            if not (weight > 0 and weight == weight and weight != float("inf")):
+                ap.error(
+                    f"--mix-source {name!r}: weight must be positive "
+                    f"finite, got {w}"
+                )
+            specs[name] = (path, weight)
+        tag_cols = args.mix_tag_cols.split(",")
+        if len(tag_cols) != 2 or not all(c.strip() for c in tag_cols):
+            ap.error(
+                "--mix-tag-cols must be two comma-separated names, "
+                f"got {args.mix_tag_cols!r}"
+            )
+        _run_mix(args, specs, tag_cols, stop_session)
         return
     if args.rank_entities:
         for req in ("edges", "out"):
@@ -374,6 +432,52 @@ def _load_pages(spark, args):
     if fmt == "parquet":
         return spark.read.parquet(args.pages)
     return spark.read.table(args.pages)
+
+
+def _run_mix(
+    args,
+    specs: dict[str, tuple[str, float]],
+    tag_cols: list[str],
+    stop_session: bool,
+) -> None:
+    """Mixture-assembly mode: weighted parquet sources -> one mixture
+    parquet tagged (source, copy), plus a per-source row-count summary
+    on stdout. Membership is deterministic (operators/mixing.py), so
+    re-running with the same spec reproduces the identical mixture."""
+    from pyspark.sql import functions as F
+
+    from ner_linking_demo_spark.operators.mixing import mix_corpora
+    from ner_linking_demo_spark.session import get_spark
+
+    spark = get_spark(app_name="corpus-mix")
+    try:
+        sources = {
+            name: (spark.read.parquet(path), weight)
+            for name, (path, weight) in specs.items()
+        }
+        source_col, copy_col = (c.strip() for c in tag_cols)
+        mixed = mix_corpora(
+            sources,
+            seed=args.mix_seed,
+            id_col=args.mix_id_col,
+            source_col=source_col,
+            copy_col=copy_col,
+        )
+        out = f"{args.out}/mixture"
+        mixed.write.mode("overwrite").parquet(out)
+        counts = {
+            r[source_col]: r["n"]
+            for r in spark.read.parquet(out)
+            .groupBy(source_col)
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for name in specs:
+            print(f"mixture[{name}]: {counts.get(name, 0)} rows")
+        print(f"mixture: {sum(counts.values())} rows -> {out}")
+    finally:
+        if stop_session:
+            spark.stop()
 
 
 def _run_rank_entities(args, stop_session: bool) -> None:

@@ -276,3 +276,56 @@ def test_cli_train_quality_then_curate_with_model(spark, tmp_path):
     n_clean = len(clean)
     assert sorted(kept["doc_id"]) == [f"page://{i}" for i in range(n_clean)]
     assert (kept["quality_prob"] >= 0.5).all()
+
+
+def test_cli_mix_mode(spark, tmp_path):
+    """--mix-source NAME=PATH@WEIGHT assembles a deterministic mixture;
+    re-running reproduces the identical (source, doc_id, copy) set, and
+    malformed specs fail fast in argparse (no Spark session)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    a = tmp_path / "a.parquet"
+    b = tmp_path / "b.parquet"
+    spark.range(200).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("ta"), F.col("id")).alias("text"),
+    ).write.parquet(str(a))
+    spark.range(100).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("tb"), F.col("id")).alias("text"),
+    ).write.parquet(str(b))
+
+    def run(out):
+        CLI.main(
+            [
+                "--mix-source", f"main={a}@1.5",
+                "--mix-source", f"aux={b}@0.4",
+                "--mix-seed", "s4",
+                "--out", str(out),
+            ],
+            stop_session=False,
+        )
+        return sorted(
+            (r["source"], r["doc_id"], r["copy"])
+            for r in spark.read.parquet(f"{out}/mixture").collect()
+        )
+
+    m1 = run(tmp_path / "o1")
+    m2 = run(tmp_path / "o2")
+    assert m1 == m2 and len(m1) > 0
+    n_main = sum(1 for s, _, _ in m1 if s == "main")
+    n_aux = sum(1 for s, _, _ in m1 if s == "aux")
+    assert 260 <= n_main <= 340  # ~200 * 1.5
+    assert 20 <= n_aux <= 60     # ~100 * 0.4
+
+    # fail-fast argparse validation, no session started
+    for bad in (
+        ["--mix-source", "noweight=path", "--out", str(tmp_path / "x")],
+        ["--mix-source", f"dup={a}@1", "--mix-source", f"dup={b}@1",
+         "--out", str(tmp_path / "x")],
+        ["--mix-source", f"z={a}@-2", "--out", str(tmp_path / "x")],
+        ["--mix-source", f"z={a}@1"],  # missing --out
+    ):
+        with pytest.raises(SystemExit):
+            CLI.main(bad, stop_session=False)
