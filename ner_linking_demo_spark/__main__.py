@@ -208,6 +208,12 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
                     help="with --curate: drop docs failing any published "
                     "Gopher repetition threshold (dup-line / top-n-gram "
                     "/ dup-n-gram character fractions)")
+    ap.add_argument("--domain-blocklist", default=None,
+                    help="with --curate: text file of blocked domains "
+                    "(one per line, # comments; matches the host and "
+                    "all parent domains — 'example.com' blocks "
+                    "'a.b.example.com'); the list's content "
+                    "fingerprint rides the resume signature")
     ap.add_argument("--domain-cap", type=int, default=None,
                     help="with --curate: keep at most ~N docs per host "
                     "(skew-immune approximate strategy; urls with no "
@@ -572,6 +578,7 @@ def _run_curation(args, stop_session: bool) -> None:
             decontam_ngram=args.decontam_ngram,
             scrub_pii=args.scrub_pii,
             line_dedup=args.line_dedup,
+            domain_blocklist=args.domain_blocklist,
             near_dup=True,
             jaccard_threshold=args.jaccard,
             repetition_thresholds=(

@@ -119,3 +119,102 @@ def domain_stats(
         aggs.append(F.sum(F.length(text_col)).alias("total_chars"))
     out = d.groupBy("domain").agg(*aggs).orderBy(F.desc("n_docs"), "domain")
     return out.limit(top_k) if top_k is not None else out
+
+
+def normalize_blocklist(spark, entries) -> DataFrame:
+    """(domain) DataFrame from a list of strings / a text file path / a
+    DataFrame with a ``domain`` column: lowercased, stripped, leading
+    ``www.`` removed, blanks and ``#`` comments skipped, distinct.
+    Blocklists are dimension tables (C4's badword/host lists are in the
+    thousands-to-millions range) — normalize once, broadcast at join
+    time."""
+    if isinstance(entries, DataFrame):
+        src = entries.select(F.col("domain"))
+    elif isinstance(entries, str):
+        src = spark.read.text(entries).select(
+            F.col("value").alias("domain")
+        )
+    else:
+        src = spark.createDataFrame(
+            [(e,) for e in entries], "domain string"
+        )
+    d = F.lower(F.trim(F.col("domain")))
+    return (
+        src.select(F.regexp_replace(d, r"^www\.", "").alias("domain"))
+        .filter(
+            (F.col("domain") != "")
+            & ~F.col("domain").startswith("#")
+        )
+        .distinct()
+    )
+
+
+def filter_domain_blocklist(
+    docs: DataFrame,
+    blocklist: DataFrame,
+    url_col: str = "url",
+    max_labels: int = 4,
+    keep_unattributable: bool = True,
+) -> DataFrame:
+    """Drop docs whose host — or any of its parent domains down to
+    ``max_labels`` labels — appears in ``blocklist`` (a ``domain``
+    DataFrame from :func:`normalize_blocklist`). The C4-style host
+    blocklist pass.
+
+    Scale shape: a blocked entry must match SUFFIXES of the doc host
+    ("example.com" blocks "a.b.example.com"), which is not an equi-key.
+    Instead of exploding per-doc suffix chains (corpus-size explode +
+    a re-aggregation shuffle) or a broadcast nested-loop contains-join
+    (O(docs x list)), the host's bounded suffix chain (full host + last
+    2..max_labels labels) becomes a CHAIN of at most ``max_labels``
+    broadcast hash LEFT joins — each rides the scan, zero Exchange,
+    zero explode (plan-tested). Hosts with fewer labels than a suffix
+    level contribute NULL at that level (never equi-joins).
+
+    ``keep_unattributable``: urls with no parseable host ('' domain)
+    are kept by default — the same exemption rule the domain cap uses,
+    so the governed population matches across the domain operators.
+    """
+    dom = extract_domain(F.col(url_col))
+    labels = F.split(dom, r"\.")
+    n = F.size(labels)
+    suffixes = [dom] + [
+        F.when(n > k, F.concat_ws(".", F.slice(labels, -k, k)))
+        for k in range(2, max_labels + 1)
+    ]
+    bl = normalize_blocklist(docs.sparkSession, blocklist)
+    out = docs.withColumn("_dbl_dom", dom)
+    hit_cols = []
+    for i, sc in enumerate(suffixes):
+        key = f"_dbl_s{i}"
+        hit = f"_dbl_b{i}"
+        out = out.withColumn(key, sc).join(
+            F.broadcast(bl.select(F.col("domain").alias(hit))),
+            F.col(key) == F.col(hit),
+            "left",
+        )
+        hit_cols.append(hit)
+    blocked = None
+    for h in hit_cols:
+        c = F.col(h).isNotNull()
+        blocked = c if blocked is None else (blocked | c)
+    keep = ~blocked
+    if not keep_unattributable:
+        # strict mode: a url that cannot be attributed to a host cannot
+        # be cleared against the blocklist either — drop it
+        keep = keep & (F.col("_dbl_dom") != "")
+    return out.filter(keep).drop(
+        "_dbl_dom", *hit_cols, *[f"_dbl_s{i}" for i in range(len(suffixes))]
+    )
+
+
+def blocklist_fingerprint(blocklist: DataFrame) -> str:
+    """Order-insensitive content fingerprint of a normalized blocklist
+    (xor of entry hashes + count), for checkpoint-signature pinning —
+    one tiny aggregate over a dimension table, never a driver collect
+    of the full list."""
+    row = blocklist.select(
+        F.bit_xor(F.xxhash64("domain")).alias("x"),
+        F.count(F.lit(1)).alias("n"),
+    ).collect()[0]
+    return f"{(row['x'] or 0) & 0xFFFFFFFFFFFFFFFF:016x}:{row['n']}"

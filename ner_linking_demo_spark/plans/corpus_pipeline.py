@@ -81,6 +81,7 @@ def run_corpus_pipeline(
     scrub_pii: bool = False,
     domain_cap: int | None = None,
     domain_cap_strategy: str = "approx",
+    domain_blocklist=None,  # DataFrame | list[str] | file path
     url_col: str = "url",
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -111,6 +112,10 @@ def run_corpus_pipeline(
     hashing, first occurrence kept, hollowed docs dropped) on the RAW
     text before any annotation, so boilerplate never distorts the
     token/quality signals — see ``operators.dedup.dedup_lines``;
+    ``domain_blocklist`` (a ``domain`` DataFrame, list of strings, or a
+    text-file path) drops docs whose host or any parent domain is
+    listed — C4-style, suffix-matched, broadcast-joined on the scan;
+    its content fingerprint rides the checkpoint signature;
     ``domain_cap`` keeps at most that many docs per host (``approx``
     strategy = skew-immune expectation cap, ``exact`` = windowed). ``stats`` records per-stage surviving counts when
     ``collect_stats=True`` — up to five extra distributed counts per
@@ -144,6 +149,18 @@ def run_corpus_pipeline(
         # gram list feeds both the scan-form flag and the signature pin
         eval_grams = collect_eval_ngrams(eval_set, n=decontam_ngram)
         decontam_sig = eval_set_fingerprint(eval_grams, decontam_ngram)
+    blocklist_sig = None
+    if domain_blocklist is not None:
+        from ..operators.domain import (
+            blocklist_fingerprint,
+            normalize_blocklist,
+        )
+
+        # normalize once; the content fingerprint (one dimension-table
+        # aggregate, never a driver collect) pins the signature so a
+        # changed blocklist can't resume snapshots filtered by the old
+        domain_blocklist = normalize_blocklist(spark, domain_blocklist)
+        blocklist_sig = blocklist_fingerprint(domain_blocklist)
     conf = (
         f"{lang_allow}|{min_quality}|{min_tokens}|{near_dup}|{n_hashes}"
         f"|{line_dedup}:{line_dedup_min_count if line_dedup else ''}"
@@ -152,7 +169,7 @@ def run_corpus_pipeline(
         # applied AFTER the last checkpointed stage (on the loaded kept
         # set), so toggling it must not invalidate warm snapshots
         f"|{rep_sig}|{domain_cap}|{domain_cap_strategy}|{url_col}"
-        f"|{model_sig}|{decontam_sig}"
+        f"|{model_sig}|{decontam_sig}|{blocklist_sig}"
     )
     cat = (
         CheckpointCatalog(spark, checkpoint_dir) if checkpoint_dir else None
@@ -191,6 +208,15 @@ def run_corpus_pipeline(
     if min_tokens is not None:
         cond = cond & (F.col("n_tokens") >= int(min_tokens))
     filtered = ann.filter(cond)
+    if domain_blocklist is not None:
+        # host blocklist rides the scan as a bounded chain of broadcast
+        # joins (zero corpus Exchange) — before the cap, so blocked
+        # hosts never count toward cap populations
+        from ..operators.domain import filter_domain_blocklist
+
+        filtered = filter_domain_blocklist(
+            filtered, domain_blocklist, url_col=url_col
+        )
     if domain_cap is not None:
         # host capping BEFORE the repetition gate and dedup: (a) the
         # dominated-host pathology is exactly where LSH buckets and CC

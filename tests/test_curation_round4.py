@@ -415,3 +415,142 @@ def test_streaming_corpus_repetition_gate(spark, tmp_path):
         for r in spark.read.parquet(os.path.join(out, "kept")).collect()
     }
     assert kept == {1}
+
+
+# ---------------------------------------------------------------------------
+# domain blocklist (round-4 session 4)
+# ---------------------------------------------------------------------------
+
+
+def _bl_docs(spark):
+    rows = [
+        (0, "https://spam.example.com/x", "a"),
+        (1, "https://a.b.spam.example.com/y", "b"),   # subdomain of blocked
+        (2, "https://clean.example.org/z", "c"),
+        (3, "https://www.blocked.net/q", "d"),        # www-stripped match
+        (4, "not a url at all", "e"),                 # unattributable
+        (5, "https://example.com/root", "f"),         # parent NOT blocked
+    ]
+    return spark.createDataFrame(rows, "doc_id long, url string, text string")
+
+
+def test_blocklist_suffix_matching(spark):
+    from ner_linking_demo_spark.operators.domain import (
+        filter_domain_blocklist,
+    )
+
+    kept = {
+        r["doc_id"]
+        for r in filter_domain_blocklist(
+            _bl_docs(spark), ["spam.example.com", "Blocked.NET", "",
+                              "# a comment line"]
+        ).collect()
+    }
+    # 0 exact, 1 subdomain, 3 www/case-normalized -> blocked;
+    # 2 clean, 4 unattributable (kept by default), 5 parent stays
+    assert kept == {2, 4, 5}
+    strict = {
+        r["doc_id"]
+        for r in filter_domain_blocklist(
+            _bl_docs(spark), ["spam.example.com", "blocked.net"],
+            keep_unattributable=False,
+        ).collect()
+    }
+    assert strict == {2, 5}
+    # schema passes through unchanged (no helper columns leak)
+    assert filter_domain_blocklist(
+        _bl_docs(spark), ["x.y"]
+    ).columns == ["doc_id", "url", "text"]
+
+
+def test_blocklist_deep_subdomain_and_max_labels(spark):
+    from ner_linking_demo_spark.operators.domain import (
+        filter_domain_blocklist,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "https://a.b.c.d.evil.co.uk/x", "t")],
+        "doc_id long, url string, text string",
+    )
+    # evil.co.uk is 3 labels; host has 7 -> needs the 3-label suffix leg
+    assert filter_domain_blocklist(docs, ["evil.co.uk"]).count() == 0
+    # max_labels=2 can't see a 3-label suffix -> doc survives
+    assert (
+        filter_domain_blocklist(docs, ["evil.co.uk"], max_labels=2).count()
+        == 1
+    )
+
+
+def test_blocklist_file_and_plan(spark, tmp_path):
+    from ner_linking_demo_spark.operators.domain import (
+        filter_domain_blocklist,
+        normalize_blocklist,
+    )
+
+    f = tmp_path / "bl.txt"
+    f.write_text("# crawl blocklist\nwww.SPAM.example.com\n\nblocked.net\n")
+    bl = normalize_blocklist(spark, str(f))
+    assert sorted(r["domain"] for r in bl.collect()) == [
+        "blocked.net", "spam.example.com",
+    ]
+    out = filter_domain_blocklist(_bl_docs(spark), bl)
+    assert {r["doc_id"] for r in out.collect()} == {2, 4, 5}
+    # AQE prints Final + Initial sections after execution — assert on
+    # the final plan only
+    plan = (
+        out._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+        .split("== Initial Plan ==")[0]
+    )
+    # the suffix chain is broadcast joins riding the scan: the CORPUS
+    # branch (everything before the first BroadcastExchange subtree)
+    # must not shuffle — the blocklist's own dimension-side distinct
+    # inside the broadcast subtrees is fine
+    corpus_branch = plan.split("BroadcastExchange")[0]
+    assert "Exchange hashpartitioning" not in corpus_branch
+    assert plan.count("BroadcastHashJoin") == 4  # default max_labels=4
+
+
+def test_pipeline_domain_blocklist_stage(spark, tmp_path):
+    """domain_blocklist (file path form) drops listed hosts and their
+    subdomains inside run_corpus_pipeline, and the list's content
+    fingerprint invalidates stale snapshots."""
+    from ner_linking_demo_spark.plans.corpus_pipeline import (
+        run_corpus_pipeline,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "https://spam.bad.com/a", "texto con palabras bastantes"),
+            (1, "https://x.spam.bad.com/b", "otro texto con mas palabras"),
+            (2, "https://good.org/c", "contenido limpio y util aqui"),
+        ],
+        "doc_id long, url string, text string",
+    )
+    f = tmp_path / "bl.txt"
+    f.write_text("spam.bad.com\n")
+    kept = {
+        r["doc_id"]
+        for r in run_corpus_pipeline(
+            spark, docs, near_dup=False, min_tokens=3,
+            domain_blocklist=str(f),
+        ).kept.collect()
+    }
+    assert kept == {2}
+
+    # resume-signature pinning: same ckpt, changed list -> recompute
+    ck = str(tmp_path / "ck")
+    kw = dict(near_dup=False, min_tokens=3, checkpoint_dir=ck,
+              input_sig="v1")
+    run_corpus_pipeline(
+        spark, docs, domain_blocklist=str(f), **kw
+    ).kept.collect()
+    f.write_text("good.org\n")
+    kept2 = {
+        r["doc_id"]
+        for r in run_corpus_pipeline(
+            spark, docs, domain_blocklist=str(f), **kw
+        ).kept.collect()
+    }
+    assert kept2 == {0, 1}  # NOT the stale snapshot's {2}
