@@ -315,11 +315,15 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
                     f"finite, got {w}"
                 )
             specs[name] = (path, weight)
-        tag_cols = args.mix_tag_cols.split(",")
-        if len(tag_cols) != 2 or not all(c.strip() for c in tag_cols):
+        tag_cols = [c.strip() for c in args.mix_tag_cols.split(",")]
+        if (
+            len(tag_cols) != 2
+            or not all(tag_cols)
+            or tag_cols[0] == tag_cols[1]
+        ):
             ap.error(
-                "--mix-tag-cols must be two comma-separated names, "
-                f"got {args.mix_tag_cols!r}"
+                "--mix-tag-cols must be two DISTINCT comma-separated "
+                f"names, got {args.mix_tag_cols!r}"
             )
         _run_mix(args, specs, tag_cols, stop_session)
         return

@@ -151,10 +151,11 @@ def normalize_blocklist(spark, entries) -> DataFrame:
 
 def filter_domain_blocklist(
     docs: DataFrame,
-    blocklist: DataFrame,
+    blocklist,
     url_col: str = "url",
-    max_labels: int = 4,
+    max_labels: int | None = None,
     keep_unattributable: bool = True,
+    assume_normalized: bool = False,
 ) -> DataFrame:
     """Drop docs whose host — or any of its parent domains down to
     ``max_labels`` labels — appears in ``blocklist`` (a ``domain``
@@ -171,10 +172,39 @@ def filter_domain_blocklist(
     zero explode (plan-tested). Hosts with fewer labels than a suffix
     level contribute NULL at that level (never equi-joins).
 
-    ``keep_unattributable``: urls with no parseable host ('' domain)
-    are kept by default — the same exemption rule the domain cap uses,
-    so the governed population matches across the domain operators.
+    ``max_labels`` defaults to the DEEPEST entry actually present in
+    the blocklist (one dimension-table aggregate), so a 5-label entry
+    always gets its 5-label suffix leg — an explicit smaller value that
+    would silently fail to block some entry's subdomains raises
+    instead. ``keep_unattributable``: urls with no parseable host (''
+    domain) are kept by default — the same exemption rule the domain
+    cap uses, so the governed population matches across the domain
+    operators. ``assume_normalized`` skips re-normalizing a frame that
+    already came from :func:`normalize_blocklist`.
     """
+    bl = (
+        blocklist
+        if assume_normalized and isinstance(blocklist, DataFrame)
+        else normalize_blocklist(docs.sparkSession, blocklist)
+    )
+    # materialize the dimension once: each suffix leg builds its own
+    # broadcast relation (different join key aliases defeat
+    # ReusedExchange), and without this the source file would be
+    # re-read and re-normalized once per leg
+    bl = bl.localCheckpoint(eager=True)
+    deepest_row = bl.select(
+        F.max(F.size(F.split("domain", r"\."))).alias("d")
+    ).collect()[0]
+    deepest = deepest_row["d"] or 1
+    if max_labels is None:
+        max_labels = max(deepest, 2)
+    elif deepest > max_labels:
+        raise ValueError(
+            f"blocklist holds a {deepest}-label entry but max_labels="
+            f"{max_labels}: its subdomains would SILENTLY escape the "
+            "filter — raise max_labels (or leave it unset to size "
+            "automatically)"
+        )
     dom = extract_domain(F.col(url_col))
     labels = F.split(dom, r"\.")
     n = F.size(labels)
@@ -182,7 +212,6 @@ def filter_domain_blocklist(
         F.when(n > k, F.concat_ws(".", F.slice(labels, -k, k)))
         for k in range(2, max_labels + 1)
     ]
-    bl = normalize_blocklist(docs.sparkSession, blocklist)
     out = docs.withColumn("_dbl_dom", dom)
     hit_cols = []
     for i, sc in enumerate(suffixes):

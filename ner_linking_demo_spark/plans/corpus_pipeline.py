@@ -156,11 +156,14 @@ def run_corpus_pipeline(
             normalize_blocklist,
         )
 
-        # normalize once; the content fingerprint (one dimension-table
-        # aggregate, never a driver collect) pins the signature so a
-        # changed blocklist can't resume snapshots filtered by the old
+        # normalize ONCE (filter_domain_blocklist is told to trust it);
+        # the content fingerprint (one dimension-table aggregate, never
+        # a driver collect) pins the signature so a changed blocklist
+        # can't resume snapshots filtered by the old one — only
+        # computed when a checkpoint exists to pin
         domain_blocklist = normalize_blocklist(spark, domain_blocklist)
-        blocklist_sig = blocklist_fingerprint(domain_blocklist)
+        if checkpoint_dir:
+            blocklist_sig = blocklist_fingerprint(domain_blocklist)
     conf = (
         f"{lang_allow}|{min_quality}|{min_tokens}|{near_dup}|{n_hashes}"
         f"|{line_dedup}:{line_dedup_min_count if line_dedup else ''}"
@@ -168,8 +171,13 @@ def run_corpus_pipeline(
         # scrub_pii is deliberately NOT in the signature: redaction is
         # applied AFTER the last checkpointed stage (on the loaded kept
         # set), so toggling it must not invalidate warm snapshots
+        # optional-stage fields append CONDITIONALLY so enabling a new
+        # stage type in a release never invalidates pre-existing
+        # checkpoints of runs that don't use it
         f"|{rep_sig}|{domain_cap}|{domain_cap_strategy}|{url_col}"
-        f"|{model_sig}|{decontam_sig}|{blocklist_sig}"
+        f"|{model_sig}"
+        + (f"|dc:{decontam_sig}" if decontam_sig is not None else "")
+        + (f"|bl:{blocklist_sig}" if blocklist_sig is not None else "")
     )
     cat = (
         CheckpointCatalog(spark, checkpoint_dir) if checkpoint_dir else None
@@ -215,7 +223,8 @@ def run_corpus_pipeline(
         from ..operators.domain import filter_domain_blocklist
 
         filtered = filter_domain_blocklist(
-            filtered, domain_blocklist, url_col=url_col
+            filtered, domain_blocklist, url_col=url_col,
+            assume_normalized=True,
         )
     if domain_cap is not None:
         # host capping BEFORE the repetition gate and dedup: (a) the

@@ -472,13 +472,20 @@ def test_blocklist_deep_subdomain_and_max_labels(spark):
         [(0, "https://a.b.c.d.evil.co.uk/x", "t")],
         "doc_id long, url string, text string",
     )
-    # evil.co.uk is 3 labels; host has 7 -> needs the 3-label suffix leg
+    # evil.co.uk is 3 labels; default max_labels sizes itself to the
+    # DEEPEST blocklist entry, so the 3-label suffix leg exists
     assert filter_domain_blocklist(docs, ["evil.co.uk"]).count() == 0
-    # max_labels=2 can't see a 3-label suffix -> doc survives
+    # a deep entry (5 labels) is covered automatically too
     assert (
-        filter_domain_blocklist(docs, ["evil.co.uk"], max_labels=2).count()
-        == 1
+        filter_domain_blocklist(
+            docs, ["b.c.d.evil.co.uk"]
+        ).count()
+        == 0
     )
+    # an explicit max_labels too small for the list REFUSES instead of
+    # silently letting that entry's subdomains through
+    with pytest.raises(ValueError, match="SILENTLY escape"):
+        filter_domain_blocklist(docs, ["evil.co.uk"], max_labels=2)
 
 
 def test_blocklist_file_and_plan(spark, tmp_path):
@@ -509,7 +516,9 @@ def test_blocklist_file_and_plan(spark, tmp_path):
     # inside the broadcast subtrees is fine
     corpus_branch = plan.split("BroadcastExchange")[0]
     assert "Exchange hashpartitioning" not in corpus_branch
-    assert plan.count("BroadcastHashJoin") == 4  # default max_labels=4
+    # auto-sized suffix chain: deepest entry (spam.example.com) has 3
+    # labels -> legs = full host + last-2 + last-3 = 3 broadcast joins
+    assert plan.count("BroadcastHashJoin") == 3
 
 
 def test_pipeline_domain_blocklist_stage(spark, tmp_path):

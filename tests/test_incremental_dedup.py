@@ -558,8 +558,15 @@ def test_streaming_curation_stage_parity(spark, tmp_path):
     # PII scrubbed after dedup, before publish
     assert "<EMAIL>" in kept[4] and "admin@example.org" not in kept[4]
 
-    # replay: identical result (published batch short-circuits)
-    incremental_corpus_pipeline(spark, stream, **kwargs).awaitTermination(120)
+    # TRUE replay: wipe the STREAMING checkpoint so the same input
+    # files re-enter process() as batch 0 again (a committed checkpoint
+    # would deliver zero batches and assert nothing) — the published
+    # layout must short-circuit and the output stay byte-identical
+    import shutil
+
+    shutil.rmtree(str(tmp_path / "sck"))
+    kwargs2 = dict(kwargs, checkpoint_dir=str(tmp_path / "sck2"))
+    incremental_corpus_pipeline(spark, stream, **kwargs2).awaitTermination(120)
     kept2 = {
         r["doc_id"]: r["text"]
         for r in spark.read.parquet(os.path.join(out, "kept")).collect()
