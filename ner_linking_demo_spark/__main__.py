@@ -26,10 +26,12 @@ import pandas as pd
 
 def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     ap = argparse.ArgumentParser(prog="ner_linking_demo_spark")
-    ap.add_argument("--pages", help="parquet dir, table name, or WARC "
-                    "archive dir (with --pages-format warc)")
+    ap.add_argument("--pages", help="parquet dir, table name, JSONL[.gz] "
+                    "path/dir, or WARC archive dir (format "
+                    "auto-detected from the suffix, or forced with "
+                    "--pages-format)")
     ap.add_argument("--pages-format", choices=["auto", "parquet", "table",
-                    "warc"], default="auto")
+                    "warc", "jsonl"], default="auto")
     ap.add_argument("--gazetteer", help="gazetteer TSV path")
     ap.add_argument("--out", help="output dir / namespace")
     ap.add_argument("--checkpoint", default=None, help="checkpoint dir")
@@ -430,6 +432,9 @@ def _load_pages(spark, args):
     if fmt == "auto":
         if args.pages.endswith((".warc", ".warc.gz")):
             fmt = "warc"
+        elif args.pages.endswith((".jsonl", ".jsonl.gz", ".json",
+                                  ".json.gz")):
+            fmt = "jsonl"
         elif (os.path.exists(args.pages) or args.pages.endswith(".parquet")
               or "/" in args.pages):
             fmt = "parquet"
@@ -439,6 +444,15 @@ def _load_pages(spark, args):
         from ner_linking_demo_spark.sources.warc import pages_from_warc
 
         return pages_from_warc(spark, args.pages)
+    if fmt == "jsonl":
+        # Dolma/RedPajama-style JSON-lines: an EXPLICIT schema keeps
+        # the reader a single pass (no sampling inference job), prunes
+        # to the columns the pipelines use, and makes a corrupt line a
+        # NULL row instead of a schema fork. .gz decompresses per file
+        # — file-grain parallelism, same as the WARC source.
+        return spark.read.schema(
+            "url string, text string, html string"
+        ).json(args.pages)
     if fmt == "parquet":
         return spark.read.parquet(args.pages)
     return spark.read.table(args.pages)

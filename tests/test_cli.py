@@ -329,3 +329,48 @@ def test_cli_mix_mode(spark, tmp_path):
     ):
         with pytest.raises(SystemExit):
             CLI.main(bad, stop_session=False)
+
+
+def test_cli_jsonl_pages(spark, tmp_path):
+    """--pages accepts Dolma-style JSONL (.jsonl.gz auto-detected): the
+    curate surface produces the same kept set as the parquet path on
+    identical content; corrupt lines become NULL rows, not crashes."""
+    import gzip
+    import json
+
+    rows = [
+        {"url": f"https://a.example.com/p{i}",
+         "text": f"documento numero {i} con palabras suficientes aqui"}
+        for i in range(8)
+    ]
+    jl = tmp_path / "pages.jsonl.gz"
+    with gzip.open(jl, "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        f.write("{corrupt json line\n")
+
+    out1 = tmp_path / "o_jsonl"
+    CLI.main(
+        ["--curate", "--pages", str(jl), "--out", str(out1),
+         "--min-tokens", "3", "--max-tokens", "64"],
+        stop_session=False,
+    )
+    pq = tmp_path / "pages.parquet"
+    spark.createDataFrame(
+        [(r["url"], r["text"]) for r in rows], "url string, text string"
+    ).write.parquet(str(pq))
+    out2 = tmp_path / "o_pq"
+    CLI.main(
+        ["--curate", "--pages", str(pq), "--out", str(out2),
+         "--min-tokens", "3", "--max-tokens", "64"],
+        stop_session=False,
+    )
+    a = sorted(
+        r["text"] for r in spark.read.parquet(f"{out1}/kept").collect()
+    )
+    b = sorted(
+        r["text"] for r in spark.read.parquet(f"{out2}/kept").collect()
+    )
+    # the corrupt line becomes a NULL row and fails min_tokens; the 8
+    # real docs come out identical to the parquet path
+    assert a == b and len(a) == 8
