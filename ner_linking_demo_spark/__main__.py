@@ -164,6 +164,12 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
                     "the first occurrence (min (doc_id, position)) "
                     "keeps its original text, fully-hollowed docs are "
                     "dropped")
+    ap.add_argument("--decontam-report", action="store_true",
+                    help="with --curate --decontam: additionally write "
+                    "<out>/contamination — the per-match attribution "
+                    "report (doc_id, eval_id, ngram) from the join "
+                    "form, the audit artifact a decontamination "
+                    "review needs")
     ap.add_argument("--scrub-pii", action="store_true",
                     help="with --curate: regex-redact emails/IPv4/"
                     "phone numbers in the kept corpus (final stage, "
@@ -339,6 +345,8 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
         for req in ("pages", "out"):
             if getattr(args, req) is None:
                 ap.error(f"--{req} is required for --curate")
+        if args.decontam_report and not args.decontam:
+            ap.error("--decontam-report requires --decontam")
         _run_curation(args, stop_session)
         return
     for req in ("pages", "gazetteer", "out"):
@@ -614,6 +622,29 @@ def _run_curation(args, stop_session: bool) -> None:
             input_sig=f"{args.input_sig or args.pages}|curate",
             persist_intermediate=args.checkpoint is None,
         )
+        if args.decontam_report:
+            # attribution report via the JOIN form (per-match rows) on
+            # the raw docs — run BEFORE any filtering so the report
+            # covers everything the scan-form gate could have dropped
+            from ner_linking_demo_spark.operators.decontamination import (
+                contamination_matches,
+            )
+
+            rpt = contamination_matches(
+                docs,
+                spark.read.parquet(args.decontam),
+                n=args.decontam_ngram,
+            )
+            rpt.write.mode("overwrite").parquet(
+                f"{args.out}/contamination"
+            )
+            n_rpt = spark.read.parquet(
+                f"{args.out}/contamination"
+            ).count()
+            print(
+                f"contamination report: {n_rpt} (doc, eval, ngram) "
+                f"matches -> {args.out}/contamination"
+            )
         kept = res.kept
         kept.write.mode("overwrite").parquet(f"{args.out}/kept")
         kept_pq = spark.read.parquet(f"{args.out}/kept")

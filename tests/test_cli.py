@@ -374,3 +374,14 @@ def test_cli_jsonl_pages(spark, tmp_path):
     # the corrupt line becomes a NULL row and fails min_tokens; the 8
     # real docs come out identical to the parquet path
     assert a == b and len(a) == 8
+
+
+def test_cli_decontam_report_requires_decontam(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit):
+        CLI.main(
+            ["--curate", "--pages", "x.parquet", "--out", str(tmp_path),
+             "--decontam-report"],
+            stop_session=False,
+        )
