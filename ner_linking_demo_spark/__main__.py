@@ -363,7 +363,18 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
     from ner_linking_demo_spark.session import get_spark
 
     spark = get_spark(app_name="kg-construct")
+    from pyspark.sql import functions as _F
+
     pages = _load_pages(spark, args)
+    # invalid rows (e.g. a corrupt JSONL line = all-NULL row) must not
+    # reach the matcher: NULL text kills the tokenizer task-side, and a
+    # page without identity can't be a triple subject
+    pages = pages.filter(
+        _F.col("url").isNotNull()
+        & (
+            _F.col("html" if args.from_html else "text").isNotNull()
+        )
+    )
     gaz = pd.read_csv(args.gazetteer, sep="\t", dtype={"code": str})
 
     from_html = args.from_html
@@ -440,8 +451,10 @@ def _load_pages(spark, args):
     if fmt == "auto":
         if args.pages.endswith((".warc", ".warc.gz")):
             fmt = "warc"
-        elif args.pages.endswith((".jsonl", ".jsonl.gz", ".json",
-                                  ".json.gz")):
+        elif args.pages.endswith((".jsonl", ".jsonl.gz")):
+            # bare .json is NOT auto-mapped: a pretty-printed JSON file
+            # read line-delimited yields one corrupt record per line;
+            # force line-delimited reading with --pages-format jsonl
             fmt = "jsonl"
         elif (os.path.exists(args.pages) or args.pages.endswith(".parquet")
               or "/" in args.pages):
@@ -457,10 +470,17 @@ def _load_pages(spark, args):
         # the reader a single pass (no sampling inference job), prunes
         # to the columns the pipelines use, and makes a corrupt line a
         # NULL row instead of a schema fork. .gz decompresses per file
-        # — file-grain parallelism, same as the WARC source.
-        return spark.read.schema(
-            "url string, text string, html string"
+        # — file-grain parallelism, same as the WARC source. Canonical
+        # Dolma records key on `id` with no top-level url — coalesce it
+        # into the url seat so doc identity survives either layout.
+        from pyspark.sql import functions as F
+
+        raw = spark.read.schema(
+            "id string, url string, text string, html string"
         ).json(args.pages)
+        return raw.select(
+            F.coalesce("url", "id").alias("url"), "text", "html"
+        )
     if fmt == "parquet":
         return spark.read.parquet(args.pages)
     return spark.read.table(args.pages)
@@ -568,7 +588,12 @@ def _run_curation(args, stop_session: bool) -> None:
             )
 
             pages = pages.withColumn("text", extract_text_expr("html"))
-        pages = pages.filter(F.col("text").isNotNull())
+        # corrupt-input rows (all-NULL) have no identity either — a
+        # NULL doc_id breaks dedup keeper election and the line-dedup
+        # join-back silently drops everything it can't match
+        pages = pages.filter(
+            F.col("text").isNotNull() & F.col("url").isNotNull()
+        )
         docs = pages.select(F.col("url").alias("doc_id"), "text")
         lang_allow = (
             tuple(x.strip() for x in args.lang.split(",") if x.strip())

@@ -385,3 +385,40 @@ def test_cli_decontam_report_requires_decontam(spark, tmp_path):
              "--decontam-report"],
             stop_session=False,
         )
+
+
+def test_cli_jsonl_dolma_id_records(spark, tmp_path):
+    """Canonical Dolma records (id, no top-level url) keep their
+    identity: id coalesces into the url seat, so line dedup's join-back
+    and dedup keeper election see non-null doc ids."""
+    import gzip
+    import json
+
+    jl = tmp_path / "dolma.jsonl.gz"
+    boiler = "please subscribe to the newsletter today"
+    with gzip.open(jl, "wt") as f:
+        for i in range(6):
+            # vary by LETTERS, not digits: line-dedup normalizes with
+            # digit stripping (CCNet "page 3 of 10" rule), so texts
+            # differing only by a number are deliberately duplicates
+            f.write(json.dumps({
+                "id": f"dolma-{i}",
+                "text": f"registro {'abcdef'[i] * 3} con palabras "
+                        f"utiles\n{boiler}",
+                "source": "cc",
+            }) + "\n")
+        f.write("{corrupt\n")
+
+    out = tmp_path / "o_dolma"
+    CLI.main(
+        ["--curate", "--pages", str(jl), "--out", str(out),
+         "--min-tokens", "3", "--max-tokens", "64", "--line-dedup"],
+        stop_session=False,
+    )
+    kept = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{out}/kept").collect()
+    }
+    # all six docs survive with their dolma ids; boilerplate kept once
+    assert set(kept) == {f"dolma-{i}" for i in range(6)}
+    assert sum(1 for t in kept.values() if boiler in t) == 1
