@@ -41,6 +41,23 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
+    # pre-flight idle probe (round-4 verdict item 1): refuse to start
+    # timing while the hypervisor is throttling the box; if the window
+    # never clears within the wait budget, proceed but stamp the probe
+    # verdict into the output so the recording is self-describing.
+    # NLDS_IDLE_PROBE=0 skips (unit tests / sub-benchmarks that are
+    # probed by their caller).
+    if os.environ.get("NLDS_IDLE_PROBE", "1") != "0":
+        from tools.idle_probe import probe as _idle_probe
+
+        idle = _idle_probe(
+            max_wait_s=float(
+                os.environ.get("NLDS_IDLE_PROBE_MAX_WAIT", "240")
+            )
+        )
+    else:
+        idle = {"ok": None, "ratio": None, "skipped": True}
+
     from ner_linking_demo_spark.plans import entry_queries as EQ
     from ner_linking_demo_spark.plans.pipeline import run_pipeline
     from ner_linking_demo_spark.session import get_spark
@@ -478,6 +495,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_spread": spread,
                 "protocol": f"interleaved median of {rounds}",
+                "idle_probe": idle,
                 "sf": sf_dir,
                 "cpus": cpus,
                 "n_docs": n_docs,

@@ -68,6 +68,7 @@ def run_level(cpus: int, sf_dir: str, replicate: str) -> dict:
         NLDS_BENCH_ONLY="kg",
         NLDS_BENCH_REPEATS="2",
         NLDS_BENCH_REPLICATE=replicate,
+        NLDS_IDLE_PROBE="0",  # the sweep probes once up front, not per level
     )
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
@@ -90,7 +91,30 @@ def main() -> None:
     ]
     n_lvl, n4_lvl = levels[0], levels[1]
 
+    # pre-flight idle probe (round-4 verdict item 1): three of the four
+    # session-4 sweeps failed purely because they ran in throttled
+    # windows (collapsed in-window ceilings). Refuse to start until the
+    # box clears the probe, up to NLDS_IDLE_PROBE_MAX_WAIT seconds
+    # (default 900 — a sweep is a 20-minute commitment, waiting is
+    # cheaper than a poisoned recording).
+    from idle_probe import probe as _idle_probe  # tools/ sibling
+
+    idle_pre = _idle_probe(
+        max_wait_s=float(os.environ.get("NLDS_IDLE_PROBE_MAX_WAIT", "900"))
+    )
+
     hw_28 = hardware_ceiling(n_lvl, n4_lvl)
+    # collapsed-ceiling defense: a ceiling this low means the hypervisor
+    # is actively down-clocking wide load right now; idle and re-measure
+    # once before committing the sweep to it.
+    if hw_28["ceiling"] < 0.6:
+        print(
+            f"[scaling_bench] ceiling {hw_28['ceiling']} collapsed; "
+            "idling 120s and re-measuring",
+            flush=True,
+        )
+        time.sleep(120)
+        hw_28 = hardware_ceiling(n_lvl, n4_lvl)
     hw_832 = hardware_ceiling(n4_lvl, levels[-1]) if len(levels) > 2 else hw_28
     samples = {lvl: [] for lvl in levels}
     n_docs = None
@@ -112,6 +136,14 @@ def main() -> None:
         if len(levels) > 2
         else eff_28
     )
+    # post-sweep re-probe: a big pre/post drift means the window shifted
+    # DURING the sweep (the round-4 sweep-#3 failure mode) — the sweep
+    # is then not internally comparable and should be rerun.
+    idle_post = _idle_probe(max_wait_s=0.0)
+    window_stable = bool(
+        idle_pre["ok"] and idle_post["ratio"] >= 0.85
+    )
+
     result = {
         "job": "kg_pipeline_e2e (pages -> linked triples)",
         "sf": sf_dir,
@@ -129,6 +161,9 @@ def main() -> None:
         "eff_n_to_4n_normalized": round(eff_28 / hw_28["ceiling"], 3),
         "gate": "N->4N >= 0.8 (primary pair = first two levels; ceiling-normalized)",
         "pass": eff_28 / hw_28["ceiling"] >= 0.8 or eff_28 >= 0.8,
+        "idle_probe_pre": idle_pre,
+        "idle_probe_post": idle_post,
+        "window_stable": window_stable,
     }
     print(json.dumps(result))
 
@@ -140,7 +175,22 @@ def main() -> None:
         f"| local[{lvl}] | {med[lvl]} | {lo[lvl]} - {best[lvl]} |"
         for lvl in levels
     )
-    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "w") as f:
+    # preserve hand-written round notes across regeneration: everything
+    # from the NOTES marker (or, for pre-marker files, the first
+    # "## Round-" heading) onward is carried into the new file verbatim.
+    baseline_path = os.path.join(REPO, "BENCH", "BASELINE.md")
+    notes_marker = "<!-- ROUND NOTES (preserved by scaling_bench) -->"
+    notes = ""
+    if os.path.exists(baseline_path):
+        with open(baseline_path) as f:
+            old = f.read()
+        if notes_marker in old:
+            notes = old.split(notes_marker, 1)[1].lstrip("\n")
+        else:
+            idx = old.find("\n## Round-")
+            if idx >= 0:
+                notes = old[idx + 1 :]
+    with open(baseline_path, "w") as f:
         f.write(
             f"""# BENCH baseline — measured numbers
 
@@ -164,6 +214,12 @@ efficiency = {result['eff_n_to_4n']}, hardware ceiling
 {hw_28['ceiling']}, ceiling-normalized =
 {result['eff_n_to_4n_normalized']}** — gate >= 0.8:
 {"PASS" if result['pass'] else "FAIL"}.
+
+Window state for this sweep: pre-flight idle probe
+{"OK" if idle_pre["ok"] else "THROTTLED (proceeded after max wait)"}
+(single-core burn at {idle_pre['ratio']} of best-ever, waited
+{idle_pre['waited_s']}s), post-sweep ratio {idle_post['ratio']} —
+window {"STABLE" if window_stable else "SHIFTED during sweep; rerun"}.
 
 Measurement caveats (full detail in the repo memory / SCALE.md):
 - this VM throttles CPU clocks under sustained wide load and is noisy
@@ -200,7 +256,10 @@ throughput ({med[n_lvl]} docs/sec median at local[{n_lvl}]) already reflects
 the batched-search design, and the numbers above measure multi-core
 scaling. `bench.py` (run per-round by the driver, BENCH_r{{N}}.json)
 tracks regressions.
-"""
+
+{notes_marker}
+
+{notes}"""
         )
     print("wrote BENCH/BASELINE.md")
 
