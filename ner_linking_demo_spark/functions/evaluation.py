@@ -39,6 +39,106 @@ def precision_recall_at_k(
     )
 
 
+def split_metrics(
+    pred: DataFrame,
+    gold: DataFrame,
+    train_mentions: DataFrame,
+    train_codes: DataFrame,
+    k: int,
+    pred_col: str = "codes",
+    gold_col: str = "gold_codes",
+    mention_col: str = "span",
+) -> DataFrame:
+    """Stratified P@k / R@k / Acc@k by whether the mention surface form
+    and the gold code(s) were seen in training.
+
+    Reference parity: `server/linking/src/utils/evaluation.py:488-543`
+    (`eval_gs_preds` / `eval_gs_preds_at_k`) scores the full gold
+    standard plus two pre-filtered subsets — unseen mentions and unseen
+    codes — prepared upstream of the repo. Here the stratification is
+    computed in-frame from a training vocabulary, so one call returns
+    the reference's three report rows (and their seen complements):
+
+    - ``train_mentions(term)``: surface forms seen in training; a
+      mention is *seen* when its lowercased trimmed surface matches.
+    - ``train_codes(code)``: codes seen in training; a mention is
+      *seen-code* when EVERY gold code is in the training set (any
+      unseen gold code puts the mention in the unseen_code stratum —
+      that is the stratum the split exists to isolate: can the linker
+      rank a code it never trained on).
+
+    Output: one row per stratum in {all, seen_mention, unseen_mention,
+    seen_code, unseen_code} with (split, p_at_k, r_at_k, acc_at_k, n).
+    Empty strata emit no row (mean of nothing is undefined, not 0).
+
+    Scale posture: both vocabularies are dimension-sized -> broadcast
+    joins riding the mention-scale frame; the only exchange is the final
+    groupBy over 5 stratum keys (gold-code membership is checked with a
+    HOF over the broadcast-collected code set — no explode+regroup of
+    the mention frame).
+    """
+    j = pred.join(gold, MENTION_KEY, "inner")
+    norm = F.lower(F.trim(F.col(mention_col)))
+
+    tm = train_mentions.select(
+        F.lower(F.trim(F.col("term"))).alias("_tm_term")
+    ).dropDuplicates()
+    j = j.join(
+        F.broadcast(tm), norm == F.col("_tm_term"), "left"
+    ).withColumn("_mention_seen", F.col("_tm_term").isNotNull())
+
+    tc = train_codes.select(
+        F.col("code").cast("string").alias("_tc_code")
+    ).dropDuplicates()
+    j = j.join(
+        F.broadcast(tc.groupBy().agg(
+            F.collect_set("_tc_code").alias("_tc_codes")
+        )),
+        how="cross",
+    ).withColumn(
+        "_code_seen",
+        F.forall(
+            F.col(gold_col),
+            lambda c: F.array_contains(F.col("_tc_codes"), c),
+        ),
+    )
+
+    topk = F.slice(F.col(pred_col), 1, k)
+    inter = F.size(F.array_intersect(topk, F.col(gold_col))).cast("double")
+    p = inter / F.greatest(
+        F.least(F.size(topk), F.lit(k)), F.lit(1)
+    ).cast("double")
+    r = inter / F.greatest(F.size(F.col(gold_col)), F.lit(1)).cast("double")
+    acc = (inter > 0).cast("double")
+
+    per_mention = j.select(
+        p.alias("_p"),
+        r.alias("_r"),
+        acc.alias("_acc"),
+        F.array(
+            F.lit("all"),
+            F.when(F.col("_mention_seen"), F.lit("seen_mention")).otherwise(
+                F.lit("unseen_mention")
+            ),
+            F.when(F.col("_code_seen"), F.lit("seen_code")).otherwise(
+                F.lit("unseen_code")
+            ),
+        ).alias("_splits"),
+    )
+    return (
+        per_mention.select(
+            F.explode("_splits").alias("split"), "_p", "_r", "_acc"
+        )
+        .groupBy("split")
+        .agg(
+            F.avg("_p").alias("p_at_k"),
+            F.avg("_r").alias("r_at_k"),
+            F.avg("_acc").alias("acc_at_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
 def micro_prf(
     pred_triples: DataFrame,
     gold_triples: DataFrame,
