@@ -394,6 +394,40 @@ def main() -> None:
             )
         )
 
+        # exact substring dedup (round 5, Lee et al. family): full
+        # documents table + 500 planted partial copies — gram explode,
+        # df-pruned anchor join, gaps-and-islands extents
+        from ner_linking_demo_spark.operators.substring_dedup import (
+            exact_substring_pairs,
+        )
+
+        _ss_docs = corpus_docs.select("doc_id", "text").unionByName(
+            corpus_docs.filter("doc_id < 500").select(
+                (FS.col("doc_id") + 10_000_000).alias("doc_id"),
+                FS.concat(
+                    FS.array_join(
+                        FS.slice(
+                            FS.split(FS.trim(FS.col("text")), r"\s+"),
+                            1,
+                            60,
+                        ),
+                        " ",
+                    ),
+                    FS.lit(" zq bench tail pad pad pad"),
+                ).alias("text"),
+            )
+        )
+        benches.append(
+            (
+                "dedup_exact_substring",
+                lambda: _materialize(
+                    exact_substring_pairs(
+                        _ss_docs, min_tokens=24, n_gram=8, max_df=16
+                    )
+                ),
+            )
+        )
+
         # greedy sequence packing over the full documents table (bounded
         # open-bin first-fit; round-4 driver entry)
         from ner_linking_demo_spark.operators.packing import pack_sequences

@@ -1,0 +1,254 @@
+"""Exact substring deduplication (the ExactSubstr family of Lee et al.
+2022, "Deduplicating Training Data Makes Language Models Better").
+
+The one dedup family the engine lacked (round-4 verdict item 3):
+MinHash/SimHash catch whole-document near-dups and dedup_lines catches
+line boilerplate, but the verbatim 50-token runs that web corpora
+repeat across otherwise-different documents need substring-grain
+detection. Lee et al. build a suffix array over the concatenated
+corpus; a suffix array is a single shared mutable structure with no
+honest distributed equivalent, so this is the Spark-first restatement
+with the same detection semantics at token grain:
+
+1. every ``n_gram``-token window of every document becomes an
+   (id, pos, md5(gram)) row — computed INSIDE the scan projection
+   (split + transform + md5, pure codegen: the text column itself
+   never shuffles, only the fixed-width gram rows do);
+2. first occurrence per (id, gram) — bounds anchors to one per
+   (document pair, gram), so a degenerate internally-repetitive doc
+   cannot blow the join up quadratically;
+3. document-frequency pruning — grams shared by more than ``max_df``
+   docs are boilerplate the pairwise join must not expand (same
+   df-pruning rationale as winnow_containment_pairs);
+4. equi-join on the gram hash (id_a < id_b) -> anchors;
+5. gaps-and-islands per (pair, diagonal): anchors of one duplicated
+   run sit at consecutive positions on the SAME diagonal
+   (pos_a - pos_b constant); runs chain with a window lag + cumsum,
+   and each island becomes a maximal duplicated extent.
+
+In exact mode (``sample_mod=None``) this finds EVERY cross-document
+duplicated run of >= ``min_tokens`` whitespace tokens, with exact
+maximal extents at token granularity — the Lee et al. guarantee,
+restated at token grain. Within-document repetition is out of scope by
+design (the Gopher repetition gate, functions/text_analysis.py, owns
+that signal).
+
+Scale posture (100 TB): gram rows are corpus-token-scale — the same
+order of work as the suffix array Lee et al. build, but embarrassingly
+partitioned. Exchanges carry only (id, pos, 16-byte hash) rows; text
+stays in the scan. ``sample_mod=p`` switches to content-defined
+sampling (keep grams whose hash ≡ 0 mod p): selection is a pure
+function of the gram text, so duplicated runs still select IDENTICAL
+gram sets in every copy — detection of a run of t tokens then succeeds
+iff the run contains a selected gram (expected t/p selected; misses
+are possible, extents chain with ``max_gap >= sample mod`` slack), at
+1/p the shuffle volume. Exact mode is the oracle-checked default;
+sampled mode is the documented scale knob.
+
+Everything is deterministic, engine-independent SQL (md5 is the house
+cross-engine hash) — the driver entry `dedup_exact_substring` checks
+the whole chain against a declarative DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def token_gram_occurrences(
+    docs: DataFrame,
+    n_gram: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_mod: int | None = None,
+) -> DataFrame:
+    """(id, pos, h): the FIRST occurrence position of every distinct
+    ``n_gram``-token window per document; ``h`` = md5 of the
+    space-joined gram. Tokenization is the engine-wide Spark split on
+    java ``\\s+`` (decontamination parity rule: one tokenization
+    expression for every physical form). Documents shorter than
+    ``n_gram`` tokens emit nothing; NULL text emits nothing."""
+    if n_gram < 1:
+        raise ValueError("n_gram must be >= 1")
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    # sequence() auto-steps -1 when start > stop: guard short docs
+    idx = F.when(
+        F.size(toks) >= n_gram,
+        F.sequence(F.lit(0), F.size(toks) - n_gram),
+    ).otherwise(F.array().cast("array<int>"))
+    grams = docs.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(
+            F.transform(
+                idx,
+                lambda i: F.md5(
+                    F.array_join(F.slice(toks, i + 1, n_gram), " ")
+                ),
+            )
+        ).alias("pos", "h"),
+    )
+    if sample_mod is not None:
+        if sample_mod < 1:
+            raise ValueError("sample_mod must be >= 1")
+        grams = grams.filter(
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
+            % sample_mod
+            == 0
+        )
+    return grams.groupBy("id", "h").agg(F.min("pos").alias("pos"))
+
+
+def exact_substring_pairs(
+    docs: DataFrame,
+    min_tokens: int = 50,
+    n_gram: int = 16,
+    max_df: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sample_mod: int | None = None,
+    max_gap: int | None = None,
+) -> DataFrame:
+    """Maximal cross-document duplicated token runs:
+    (id_a, id_b, begin_a, begin_b, n_tokens), id_a < id_b, one row per
+    maximal extent of >= ``min_tokens`` tokens duplicated verbatim
+    between the two documents (positions are 0-based token offsets;
+    the extent covers tokens [begin, begin + n_tokens)).
+
+    ``max_gap`` is the anchor-chaining tolerance on the diagonal:
+    1 (default) in exact mode — consecutive grams of a contiguous run
+    are exactly 1 apart, so chains break exactly where the duplication
+    breaks; sampled mode needs ``max_gap`` >= the expected selection
+    gap (defaults to 4*sample_mod).
+
+    First-occurrence caveat (documented, deterministic): anchors use
+    each gram's first position per document, so a run whose gram also
+    occurs EARLIER in the document anchors off-diagonal and the extent
+    fragments at that gram. With 16-token grams that requires verbatim
+    16-token repetition before the run — rare outside the degenerate
+    spam the repetition gate already drops.
+    """
+    if min_tokens < n_gram:
+        raise ValueError(
+            f"min_tokens ({min_tokens}) must be >= n_gram ({n_gram}): "
+            "shorter runs carry no complete gram"
+        )
+    if max_gap is None:
+        max_gap = 1 if sample_mod is None else 4 * sample_mod
+
+    occ = token_gram_occurrences(
+        docs, n_gram, id_col=id_col, text_col=text_col,
+        sample_mod=sample_mod,
+    )
+    # df-pruning: only grams shared by 2..max_df docs can anchor a
+    # pair; hotter grams are boilerplate (quadratic join risk).
+    counts = occ.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
+    good = counts.filter(
+        (F.col("df") >= 2) & (F.col("df") <= F.lit(max_df))
+    ).select("h")
+    # one computation for both join sides (the LSH two-consumer
+    # lesson): lazy localCheckpoint, materialized on first use
+    occ2 = occ.join(good, "h").localCheckpoint(eager=False)
+
+    a = occ2.select(
+        F.col("id").alias("id_a"), F.col("h"), F.col("pos").alias("pos_a")
+    )
+    b = occ2.select(
+        F.col("id").alias("id_b"), F.col("h"), F.col("pos").alias("pos_b")
+    )
+    anchors = a.join(b, "h").filter(F.col("id_a") < F.col("id_b")).select(
+        "id_a",
+        "id_b",
+        (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+        "pos_a",
+    )
+
+    w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
+    flagged = anchors.withColumn(
+        "_new",
+        F.when(
+            F.col("pos_a") - F.lag("pos_a").over(w) <= max_gap, 0
+        ).otherwise(1),  # first row in a partition: lag NULL -> 1
+    ).withColumn(
+        "_island",
+        F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    extents = (
+        flagged.groupBy("id_a", "id_b", "diag", "_island")
+        .agg(
+            F.min("pos_a").alias("begin_a"),
+            (F.max("pos_a") + F.lit(n_gram)).alias("_end_a"),
+        )
+        .select(
+            "id_a",
+            "id_b",
+            "begin_a",
+            (F.col("begin_a") - F.col("diag")).alias("begin_b"),
+            (F.col("_end_a") - F.col("begin_a")).alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") >= min_tokens)
+    )
+    return extents
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    extents: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    drop_empty: bool = True,
+) -> DataFrame:
+    """Lee et al.'s removal step: cut every duplicated extent from the
+    HIGHER-id document of each pair (the lower id keeps its copy —
+    exactly one survivor per duplicated run, deterministic under any
+    execution order). Token-grain splice, pure codegen: tokens whose
+    0-based index falls inside any removed extent are filtered out of
+    the split array and the text is re-joined single-spaced (the
+    engine's document normal form). Documents left with no tokens are
+    dropped when ``drop_empty`` (mirrors dedup_lines' hollow-drop
+    rule).
+
+    One exchange: extents aggregate per victim id (dup-pair-scale, not
+    corpus-scale), then join the docs scan; non-victim docs pass
+    through untouched via the left join.
+    """
+    victim_spans = (
+        extents.select(
+            F.col("id_b").alias("id"),
+            F.struct(
+                F.col("begin_b").alias("begin"),
+                (F.col("begin_b") + F.col("n_tokens")).alias("end"),
+            ).alias("span"),
+        )
+        .groupBy("id")
+        .agg(F.collect_list("span").alias("_cut"))
+    )
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    spliced = F.array_join(
+        F.filter(
+            toks,
+            lambda t, i: ~F.exists(
+                F.col("_cut"),
+                lambda s: (i >= s["begin"]) & (i < s["end"]),
+            ),
+        ),
+        " ",
+    )
+    out = docs.join(
+        victim_spans, docs[id_col] == victim_spans["id"], "left"
+    ).select(
+        *[
+            F.when(F.col("_cut").isNotNull(), spliced)
+            .otherwise(F.col(c))
+            .alias(c)
+            if c == text_col
+            else docs[c]
+            for c in docs.columns
+        ]
+    )
+    if drop_empty:
+        out = out.filter(F.length(F.trim(F.col(text_col))) > 0)
+    return out

@@ -1432,7 +1432,12 @@ def _duped_embeddings(spark, sf_dir):
     return e.unionByName(near)
 
 
-@q(
+# Driver slot rotated in round 5: the blocked all-pairs form's scale
+# story is its LSH sibling (dedup_embedding_lsh, still driver-gated,
+# same planted dups, same cosine threshold); this blocked form stays
+# oracle-compared in pytest via RETIRED. Slot freed for
+# dedup_exact_substring.
+@q_retired(
     "dedup_embedding_cosine",
     f"""
     WITH e AS ({_DUPED_EMB_SQL})
@@ -1506,6 +1511,116 @@ def dedup_embedding_lsh(spark, sf_dir):
     )
     return pairs.select(
         "id_a", "id_b", F.round("cosine", 6).alias("cosine")
+    )
+
+
+_EXSUB_NG = 8  # n_gram tokens per window
+_EXSUB_MIN = 12  # minimal duplicated run (tokens)
+_EXSUB_MAXDF = 16  # df-pruning ceiling
+
+# planted input shared by the Spark query and the oracle: docs < 200,
+# plus exact copies of docs 0-9 at +9000 and 40-token-prefix partial
+# overlaps of docs 10-19 at +9100 (prefix + distinctive tail => the
+# extent must stop exactly at the prefix boundary)
+_EXSUB_BASE_SQL = """
+    SELECT doc_id, text FROM documents WHERE doc_id < 200
+    UNION ALL
+    SELECT doc_id + 9000, text FROM documents WHERE doc_id < 10
+    UNION ALL
+    SELECT doc_id + 9100,
+           array_to_string(
+             list_slice(regexp_split_to_array(trim(text), '\\s+'), 1, 40),
+             ' ') || ' zq distinctive tail pad pad pad'
+    FROM documents WHERE doc_id >= 10 AND doc_id < 20
+"""
+
+
+@q(
+    "dedup_exact_substring",
+    f"""
+    WITH base AS ({_EXSUB_BASE_SQL}),
+    toks AS (
+      SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+      FROM base
+    ),
+    grams AS (
+      SELECT doc_id, i - 1 AS pos,
+             md5(array_to_string(list_slice(t, i, i + {_EXSUB_NG - 1}), ' ')) AS h
+      FROM toks, LATERAL unnest(
+        generate_series(1, len(t) - {_EXSUB_NG - 1})) AS u(i)
+      WHERE len(t) >= {_EXSUB_NG}
+    ),
+    occ AS (
+      SELECT doc_id, h, min(pos) AS pos FROM grams GROUP BY doc_id, h
+    ),
+    good AS (
+      SELECT h FROM occ GROUP BY h
+      HAVING count(*) BETWEEN 2 AND {_EXSUB_MAXDF}
+    ),
+    anchors AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             a.pos - b.pos AS diag, a.pos AS pos_a
+      FROM occ a
+      JOIN good USING (h)
+      JOIN occ b USING (h)
+      WHERE a.doc_id < b.doc_id
+    ),
+    flagged AS (
+      SELECT id_a, id_b, diag, pos_a,
+             CASE WHEN pos_a - lag(pos_a) OVER w <= 1
+                  THEN 0 ELSE 1 END AS newf
+      FROM anchors
+      WINDOW w AS (PARTITION BY id_a, id_b, diag ORDER BY pos_a)
+    ),
+    islands AS (
+      SELECT id_a, id_b, diag, pos_a,
+             sum(newf) OVER (PARTITION BY id_a, id_b, diag ORDER BY pos_a
+                             ROWS UNBOUNDED PRECEDING) AS island
+      FROM flagged
+    ),
+    ext AS (
+      SELECT id_a, id_b,
+             min(pos_a) AS begin_a,
+             min(pos_a) - diag AS begin_b,
+             max(pos_a) + {_EXSUB_NG} - min(pos_a) AS n_tokens
+      FROM islands
+      GROUP BY id_a, id_b, diag, island
+    )
+    SELECT id_a, id_b, begin_a, begin_b, n_tokens
+    FROM ext WHERE n_tokens >= {_EXSUB_MIN}
+    """,
+)
+def dedup_exact_substring(spark, sf_dir):
+    """Exact substring dedup (Lee et al. 2022 ExactSubstr family,
+    operators/substring_dedup.py): maximal cross-document duplicated
+    token runs over planted exact copies + partial prefix overlaps.
+    The whole chain — gram hashing, first-occurrence, df-pruning,
+    anchor join, gaps-and-islands extents — is re-derived declaratively
+    by the DuckDB oracle."""
+    from ..operators.substring_dedup import exact_substring_pairs
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .filter("doc_id < 200")
+        .select("doc_id", "text")
+    )
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    copies = docs.filter("doc_id < 10").select(
+        (F.col("doc_id") + 9000).alias("doc_id"), "text"
+    )
+    partial = docs.filter("doc_id >= 10 AND doc_id < 20").select(
+        (F.col("doc_id") + 9100).alias("doc_id"),
+        F.concat(
+            F.array_join(F.slice(toks, 1, 40), " "),
+            F.lit(" zq distinctive tail pad pad pad"),
+        ).alias("text"),
+    )
+    base = docs.unionByName(copies).unionByName(partial)
+    return exact_substring_pairs(
+        base,
+        min_tokens=_EXSUB_MIN,
+        n_gram=_EXSUB_NG,
+        max_df=_EXSUB_MAXDF,
     )
 
 

@@ -1,0 +1,181 @@
+"""Exact substring dedup (operators/substring_dedup.py) vs an
+independent diagonal-run oracle: for each document pair, token-match
+runs per diagonal of the match matrix ARE the maximal duplicated
+extents (valid whenever no n_gram-token window repeats within one
+document — the fixtures guarantee that)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from ner_linking_demo_spark.operators.substring_dedup import (
+    exact_substring_pairs,
+    remove_duplicate_spans,
+    token_gram_occurrences,
+)
+
+N_GRAM = 4
+MIN_TOKENS = 8
+
+
+def _mk(prefix: str, n: int) -> list[str]:
+    return [f"{prefix}{i}" for i in range(n)]
+
+
+RUN = _mk("r", 10)  # shared 10-token run
+DOCS = {
+    1: _mk("a", 3) + RUN + _mk("b", 2),  # run at pos 3
+    2: _mk("c", 5) + RUN + _mk("d", 4),  # run at pos 5
+    3: _mk("a", 3) + RUN + _mk("b", 2),  # exact copy of doc 1
+    4: _mk("e", 12),  # unrelated
+    5: RUN[:6] + _mk("f", 8),  # only 6 shared tokens (< MIN) at pos 0
+}
+
+
+def _oracle_pairs() -> set[tuple]:
+    """All maximal diagonal token runs >= MIN_TOKENS, id_a < id_b."""
+    out = set()
+    ids = sorted(DOCS)
+    for i, ia in enumerate(ids):
+        for ib in ids[i + 1 :]:
+            a, b = DOCS[ia], DOCS[ib]
+            for d in range(-len(b) + 1, len(a)):
+                run = 0
+                for pa in range(max(0, d), min(len(a), len(b) + d)):
+                    if a[pa] == b[pa - d]:
+                        run += 1
+                    else:
+                        if run >= MIN_TOKENS:
+                            out.add((ia, ib, pa - run, pa - run - d, run))
+                        run = 0
+                pa_end = min(len(a), len(b) + d)
+                if run >= MIN_TOKENS:
+                    out.add((ia, ib, pa_end - run, pa_end - run - d, run))
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": list(DOCS),
+                "text": [" ".join(t) for t in DOCS.values()],
+            }
+        )
+    )
+
+
+def test_extents_match_diagonal_oracle(spark, docs_df):
+    got = {
+        (r.id_a, r.id_b, r.begin_a, r.begin_b, r.n_tokens)
+        for r in exact_substring_pairs(
+            docs_df, min_tokens=MIN_TOKENS, n_gram=N_GRAM, max_df=16
+        ).collect()
+    }
+    want = _oracle_pairs()
+    assert want, "fixture must plant at least one extent"
+    assert got == want
+    # the sub-threshold 6-token overlap (doc 5) must NOT appear
+    assert not any(5 in (a, b) for a, b, *_ in got)
+
+
+def test_exact_copy_detected_full_length(spark, docs_df):
+    got = exact_substring_pairs(
+        docs_df, min_tokens=MIN_TOKENS, n_gram=N_GRAM, max_df=16
+    ).filter("id_a = 1 AND id_b = 3").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.begin_a, r.begin_b, r.n_tokens) == (0, 0, len(DOCS[1]))
+
+
+def test_removal_keeps_exactly_one_copy(spark, docs_df):
+    ext = exact_substring_pairs(
+        docs_df, min_tokens=MIN_TOKENS, n_gram=N_GRAM, max_df=16
+    )
+    kept = {
+        r.doc_id: r.text.split()
+        for r in remove_duplicate_spans(docs_df, ext).collect()
+    }
+    # doc 1 (lowest id) keeps the run; docs 2/3 lose it; doc 3 (exact
+    # copy) is hollowed out entirely and dropped
+    assert kept[1] == DOCS[1]
+    assert kept[2] == _mk("c", 5) + _mk("d", 4)
+    assert 3 not in kept
+    assert kept[4] == DOCS[4]
+    assert kept[5] == DOCS[5]  # sub-threshold overlap untouched
+
+
+def test_max_df_prunes_boilerplate_grams(spark):
+    # the same run in 6 docs with max_df=4: every gram has df=6 > 4 ->
+    # pruned, no pairs at all (boilerplate is dedup_lines' job)
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(6),
+                "text": [
+                    " ".join(_mk(f"u{i}_", 3) + RUN) for i in range(6)
+                ],
+            }
+        )
+    )
+    got = exact_substring_pairs(
+        docs, min_tokens=MIN_TOKENS, n_gram=N_GRAM, max_df=4
+    ).collect()
+    assert got == []
+
+
+def test_sampled_mode_detects_long_runs_deterministically(spark):
+    long_run = _mk("z", 120)
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    " ".join(_mk("p", 7) + long_run),
+                    " ".join(_mk("q", 13) + long_run),
+                ],
+            }
+        )
+    )
+    kw = dict(min_tokens=40, n_gram=8, max_df=8, sample_mod=4)
+    a = sorted(map(tuple, exact_substring_pairs(docs, **kw).collect()))
+    b = sorted(
+        map(
+            tuple,
+            exact_substring_pairs(
+                docs.repartition(7), **kw
+            ).collect(),
+        )
+    )
+    assert a == b  # partitioning-independent (content-defined sampling)
+    assert len(a) >= 1
+    (id_a, id_b, begin_a, begin_b, n_tokens) = a[0]
+    # sampled extents sit inside the true run with bounded edge slack
+    assert (id_a, id_b) == (1, 2)
+    assert begin_a >= 7 and begin_a - 7 == begin_b - 13
+    assert n_tokens >= 40
+
+
+def test_null_and_short_docs_emit_nothing(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3], "text": ["one two three", None, ""]}
+        )
+    )
+    assert (
+        token_gram_occurrences(docs, n_gram=4).collect() == []
+    )
+    assert (
+        exact_substring_pairs(docs, min_tokens=4, n_gram=4).collect() == []
+    )
+
+
+def test_parameter_validation(spark, docs_df):
+    with pytest.raises(ValueError, match="min_tokens"):
+        exact_substring_pairs(docs_df, min_tokens=4, n_gram=8)
+    with pytest.raises(ValueError, match="n_gram"):
+        token_gram_occurrences(docs_df, n_gram=0)
+    with pytest.raises(ValueError, match="sample_mod"):
+        token_gram_occurrences(docs_df, n_gram=4, sample_mod=0)

@@ -370,6 +370,32 @@ def main() -> int:
         f"(exchanges={n_ex})",
     )
 
+    # exact substring dedup (round 5): gram hashing must ride the scan
+    # (pure codegen — no python stage anywhere), the anchor join must be
+    # an equi-join (never a cartesian), and no exchange may carry the
+    # document text (only (id, pos, h) gram rows shuffle)
+    from ner_linking_demo_spark.operators.substring_dedup import (
+        exact_substring_pairs,
+    )
+
+    p = plan_of(
+        exact_substring_pairs(docs, min_tokens=12, n_gram=8, max_df=16)
+    )
+    text_in_exchange = any(
+        block.startswith("Exchange") and "text#" in block
+        for block in re.split(r"\(\d+\) ", p)
+    )
+    failures += not check(
+        "exact substring: text never shuffles", not text_in_exchange
+    )
+    failures += not check(
+        "exact substring: pure JVM, equi-join only",
+        nodes(p, "MapInPandas") + nodes(p, "BatchEvalPython") == 0
+        and "ArrowEvalPython" not in p
+        and "CartesianProduct" not in p
+        and "BroadcastNestedLoopJoin" not in p,
+    )
+
     print(f"\n{failures} failures")
     spark.stop()
     return 1 if failures else 0
