@@ -45,6 +45,7 @@ per worker process, not per batch.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # noqa: F401  (pandas_udf type-hint resolution)
 
 from .embedder import l2_normalize
 
@@ -218,6 +219,84 @@ class HFSentenceEmbedder:
         if normalize:
             mat = l2_normalize(mat)
         return mat
+
+
+def _default_tokenizer_loader(model_name: str):
+    try:
+        from transformers import AutoTokenizer
+    except ImportError as e:
+        raise ImportError(
+            "the transformers package is not installed in this "
+            "environment; HFTokenCounter needs `pip install "
+            "transformers` plus the tokenizer files for "
+            f"{model_name!r}. For no-dependency counting use "
+            "functions.text_analysis.token_count / "
+            "bpe_ish_token_count (the same seat, heuristic)."
+        ) from e
+    return AutoTokenizer.from_pretrained(model_name)
+
+
+class HFTokenCounter:
+    """Real-tokenizer token-count seat (round-5 verdict item 8).
+
+    Sequence-packing windows and mixing budgets at 100 TB are
+    denominated in the TRAINING tokenizer's tokens; the engine's
+    heuristics (``text_analysis.token_count`` whitespace counts,
+    ``bpe_ish_token_count`` pre-BPE segmentation — both unchanged
+    defaults) approximate that. This adapter fills the same seat with a
+    real HuggingFace tokenizer: ``count(texts)`` = length of
+    ``tokenizer(texts, add_special_tokens=False)['input_ids']`` per
+    text, and ``column()`` wraps it as an Arrow-batched pandas UDF
+    (NULL text counts 0). ``loader(model_name) -> tokenizer`` is
+    injectable; pickling drops the loaded tokenizer and reloads lazily
+    per worker (one load per python worker, the house adapter
+    lifecycle). ``fingerprint`` pins checkpoint signatures so a
+    tokenizer change can never silently resume token-gated snapshots.
+    """
+
+    def __init__(self, model_name: str, loader=None) -> None:
+        self.model_name = model_name
+        self._loader = loader
+        self._tok = None
+
+    @property
+    def fingerprint(self) -> str:
+        return f"hftc:{self.model_name}"
+
+    def __getstate__(self):
+        state = self.__dict__.copy()
+        state["_tok"] = None
+        return state
+
+    def _ensure_loaded(self):
+        if self._tok is None:
+            loader = self._loader or _default_tokenizer_loader
+            self._tok = loader(self.model_name)
+        return self._tok
+
+    def count(self, texts) -> list:
+        texts = list(texts)
+        if not texts:
+            return []
+        tok = self._ensure_loaded()
+        enc = tok(texts, add_special_tokens=False)
+        return [len(ids) for ids in enc["input_ids"]]
+
+    def column(self):
+        """pandas_udf: text -> long token count (NULL -> 0)."""
+        from pyspark.sql import functions as F
+
+        counter = self
+
+        @F.pandas_udf("long")
+        def n_tok(s: pd.Series) -> pd.Series:
+            mask = s.notna()
+            out = pd.Series(0, index=s.index, dtype="int64")
+            if mask.any():
+                out[mask] = counter.count(list(s[mask]))
+            return out
+
+        return n_tok
 
 
 class HFCrossEncoder:

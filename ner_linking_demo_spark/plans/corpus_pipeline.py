@@ -45,16 +45,30 @@ class CorpusResult:
     stats: dict[str, int] = field(default_factory=dict)
 
 
-def annotate_docs(docs: DataFrame, text_col: str = "text") -> DataFrame:
+def annotate_docs(
+    docs: DataFrame, text_col: str = "text", token_counter=None
+) -> DataFrame:
     """One scan projection: language id, quality score, token count,
     content fingerprint. Pure Catalyst — annotating 10^12 docs adds no
-    stage and no shuffle."""
+    stage and no shuffle.
+
+    ``token_counter`` (e.g. ``functions.st_adapter.HFTokenCounter``)
+    swaps the whitespace heuristic for real tokenizer counts: n_tokens
+    then comes from one Arrow-batched UDF riding the same scan (still
+    zero shuffle, one python stage added). Every n_tokens consumer —
+    the min_tokens gate, sequence packing, mixing budgets — follows
+    automatically."""
     t = F.col(text_col)
+    n_tokens = (
+        token_counter.column()(t)
+        if token_counter is not None
+        else TA.token_count(t)
+    )
     return docs.withColumns(
         {
             "lang_pred": TA.lang_id(t),
             "quality": TA.quality_score(t),
-            "n_tokens": TA.token_count(t),
+            "n_tokens": n_tokens,
             "fingerprint": TA.content_fingerprint(t),
         }
     )
@@ -76,6 +90,7 @@ def run_corpus_pipeline(
     repetition_thresholds: dict[str, float] | None = None,
     quality_model=None,
     model_quality_threshold: float = 0.5,
+    token_counter=None,
     eval_set: DataFrame | None = None,
     decontam_ngram: int = 8,
     scrub_pii: bool = False,
@@ -178,6 +193,15 @@ def run_corpus_pipeline(
         f"|{model_sig}"
         + (f"|dc:{decontam_sig}" if decontam_sig is not None else "")
         + (f"|bl:{blocklist_sig}" if blocklist_sig is not None else "")
+        # the token-counter fingerprint pins every token-denominated
+        # stage (min_tokens gate, downstream packing of kept's
+        # n_tokens): a changed tokenizer must never resume snapshots
+        # counted by the old one
+        + (
+            f"|tc:{token_counter.fingerprint}"
+            if token_counter is not None
+            else ""
+        )
     )
     cat = (
         CheckpointCatalog(spark, checkpoint_dir) if checkpoint_dir else None
@@ -207,7 +231,7 @@ def run_corpus_pipeline(
         if collect_stats:
             stats["after_line_dedup"] = docs.count()
 
-    ann = annotate_docs(docs, text_col)
+    ann = annotate_docs(docs, text_col, token_counter=token_counter)
     cond = F.lit(True)
     if lang_allow is not None:
         cond = cond & F.col("lang_pred").isin(list(lang_allow))

@@ -27,12 +27,14 @@ def duck():
 
 def test_retired_registry_holds_the_rotated_entries():
     assert sorted(q.name for q in RETIRED) == [
+        "a11_best_k",  # r5: eval family stays via eval_prf_at_k
         "a2_group_concat",
         "a3_log_prob_product",
         "a6_topk_count_sum",
         "ann_bruteforce_topk",
         "ann_lsh_topk",
         "cand_term_avg",
+        "dedup_embedding_cosine",  # r5: LSH sibling stays driver-gated
         "dedup_minhash_signature",
         "j4_part_lookup",
         "kg_detect_mentions",

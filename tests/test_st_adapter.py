@@ -129,7 +129,24 @@ class FakeCrossModel:
         return SimpleNamespace(logits=scores[:, None])
 
 
-_LOADS = {"enc": 0, "cross": 0}
+class FakeBPETokenizer:
+    """BPE-ish fake: one token id per 2-char chunk of each non-space
+    run (so counts genuinely differ from whitespace counts)."""
+
+    def __call__(self, texts, add_special_tokens=True):
+        ids = []
+        for t in texts:
+            n = sum((len(w) + 1) // 2 for w in t.split())
+            ids.append(list(range(n)))
+        return {"input_ids": ids}
+
+
+_LOADS = {"enc": 0, "cross": 0, "bpe": 0}
+
+
+def fake_bpe_loader(model_name):
+    _LOADS["bpe"] += 1
+    return FakeBPETokenizer()
 
 
 def fake_encoder_loader(model_name):
@@ -294,6 +311,98 @@ def test_crossencoder_rerank_through_adapter_seat(spark, tiny_candidates):
         ).toPandas()
     )
     pd.testing.assert_series_equal(sig["rerank"], want["rerank"])
+
+
+def test_token_counter_seat_errors_and_lifecycle():
+    from ner_linking_demo_spark.functions.st_adapter import HFTokenCounter
+
+    with pytest.raises(ImportError, match="transformers"):
+        HFTokenCounter("some/model").count(["x"])
+    c = HFTokenCounter("fake/bpe", loader=fake_bpe_loader)
+    assert c.count(["ab cde", "", "abcd"]) == [3, 0, 2]
+    blob = pickle.dumps(c)
+    assert len(blob) < 1500
+    clone = pickle.loads(blob)
+    before = _LOADS["bpe"]
+    assert clone.count(["ab"]) == [1]
+    assert _LOADS["bpe"] == before + 1  # lazy reload after pickling
+    assert c.fingerprint != HFTokenCounter("other/bpe").fingerprint
+
+
+def test_pack_sequences_respects_injected_bpe_counts(spark):
+    """Round-5 verdict item 8 'done' condition: packing windows are
+    denominated in the INJECTED tokenizer's counts."""
+    from ner_linking_demo_spark.functions.st_adapter import HFTokenCounter
+    from ner_linking_demo_spark.operators.packing import pack_sequences
+    from ner_linking_demo_spark.plans.corpus_pipeline import annotate_docs
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(20),
+                # 10 words x 4 chars: whitespace count 10, fake BPE 20
+                "text": [" ".join(["word"] * 10)] * 20,
+            }
+        )
+    )
+    counter = HFTokenCounter("fake/bpe", loader=fake_bpe_loader)
+    ann = annotate_docs(docs, token_counter=counter)
+    counts = {r.doc_id: r.n_tokens for r in ann.collect()}
+    assert all(v == 20 for v in counts.values())  # not the whitespace 10
+
+    packed_bpe = pack_sequences(
+        ann, max_tokens=100, tokens_col="n_tokens", num_partitions=1
+    ).collect()
+    packed_ws = pack_sequences(
+        docs, max_tokens=100, num_partitions=1
+    ).collect()
+    # 20 docs at 20 BPE tokens -> 5 per bin -> 4 bins; at 10 whitespace
+    # tokens -> 10 per bin -> 2 bins
+    assert len(packed_bpe) == 4 and len(packed_ws) == 2
+    assert all(r.total_tokens == 100 for r in packed_bpe)
+    # NULL text -> 0 tokens through the UDF column
+    with_null = spark.createDataFrame(
+        pd.DataFrame({"doc_id": [1], "text": [None]})
+    )
+    assert annotate_docs(
+        with_null, token_counter=counter
+    ).collect()[0].n_tokens == 0
+
+
+def test_token_counter_pins_pipeline_checkpoint_signature(spark, tmp_path):
+    """A tokenizer change must never resume token-gated snapshots: the
+    counter fingerprint is part of the corpus-pipeline signature."""
+    from ner_linking_demo_spark.functions.st_adapter import HFTokenCounter
+    from ner_linking_demo_spark.plans.corpus_pipeline import (
+        run_corpus_pipeline,
+    )
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": range(12),
+                "text": [
+                    " ".join([f"w{i}x{j}" for j in range(3 + i % 3)])
+                    for i in range(12)
+                ],
+            }
+        )
+    )
+    ck = str(tmp_path / "ck")
+    counter = HFTokenCounter("fake/bpe", loader=fake_bpe_loader)
+    kept_bpe = run_corpus_pipeline(
+        spark, docs, min_tokens=8, near_dup=False, token_counter=counter,
+        checkpoint_dir=ck, input_sig="fixed",
+    ).kept.toPandas()
+    kept_ws = run_corpus_pipeline(
+        spark, docs, min_tokens=8, near_dup=False,
+        checkpoint_dir=ck, input_sig="fixed",
+    ).kept.toPandas()
+    # 3-5 words of 4 chars: BPE counts 6-10, whitespace 3-5 -> the
+    # min_tokens=8 gate keeps different sets; a stale resume would
+    # return identical frames
+    assert set(kept_bpe.doc_id) != set(kept_ws.doc_id)
+    assert (kept_bpe.n_tokens >= 8).all() and (kept_ws.n_tokens >= 8).all()
 
 
 def test_full_linking_chain_triple_parity(
