@@ -394,6 +394,30 @@ def main() -> None:
             )
         )
 
+        # SQ8-quantized IVF search (round 5): same query batch over the
+        # int8-coded index — asymmetric-distance scoring, pure codegen
+        from ner_linking_demo_spark.operators.ivf import (
+            ivf_index_sq8,
+            ivf_search_sq8,
+            train_sq8_bounds,
+        )
+
+        ivf_vmin, ivf_step = train_sq8_bounds(emb_tbl, sample_limit=20_000)
+        ivf_idx8 = ivf_index_sq8(
+            emb_tbl, ivf_cent, ivf_vmin, ivf_step
+        ).localCheckpoint(eager=True)
+        benches.append(
+            (
+                "ann_ivf_sq8_search",
+                lambda: _materialize(
+                    ivf_search_sq8(
+                        ivf_queries, ivf_idx8, ivf_cent, ivf_vmin,
+                        ivf_step, k=10, nprobe=4,
+                    )
+                ),
+            )
+        )
+
         # exact substring dedup (round 5, Lee et al. family): full
         # documents table + 500 planted partial copies — gram explode,
         # df-pruned anchor join, gaps-and-islands extents

@@ -28,6 +28,17 @@ Scale posture (mirrors ``similarity.ann_join``):
 Recall is tested against the brute-force baseline, and
 ``nprobe == k_lists`` provably equals exhaustive search (every list is
 probed) — both in tests/test_ivf.py.
+
+SQ8 quantization (round 5): at 100 TB the float at-rest index dominates
+storage and scan IO, so the index also ships in int8 scalar-quantized
+form — per-dim (vmin, step) bounds trained on the same driver sample,
+codes = 1 byte/dim (8x smaller than array<double>, 4x than float32),
+search by asymmetric distance (q . decode(v) folded into codegen as
+q.vmin + (q*step).(codes+128)) so queries keep full precision and the
+decoded cosine is exact and deterministic. Gates in tests/test_ivf.py:
+recall@10 >= 0.95 vs exact brute force, full-probe == brute force over
+the decoded corpus, and the bucketed SQ8 scan keeps the
+zero-corpus-Exchange join.
 """
 
 from __future__ import annotations
@@ -191,6 +202,196 @@ def write_bucketed_ivf_index(
     if path:
         w = w.option("path", path)
     w.saveAsTable(table)
+
+
+# ---------------------------------------------------------------------------
+# SQ8 scalar quantization (round-5 verdict item 6): the at-rest index in
+# int8 codes — 8x smaller than the array<double> flat form, 4x smaller
+# than float32 — with asymmetric distance search (queries stay float,
+# index decodes on the fly INSIDE the codegen expression).
+# ---------------------------------------------------------------------------
+
+
+def train_sq8_bounds(
+    df: DataFrame,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+    sample_limit: int = 50_000,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per-dimension (vmin, step) for uint8 scalar quantization, trained
+    on the same deterministic driver-sized sample as the coarse
+    quantizer (FAISS's ScalarQuantizer trains bounds on a subsample the
+    same way; out-of-range values clamp at encode time). Constant
+    dimensions get step 1.0 so encode/decode stays exact (code 0 ->
+    vmin) instead of dividing by zero."""
+    rows = (
+        df.where(F.col(emb_col).isNotNull())
+        .select(F.col(id_col).alias("id"), F.col(emb_col).alias("v"))
+        .orderBy("id")
+        .limit(sample_limit)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("cannot train SQ8 bounds on an empty sample")
+    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    vmin = x.min(axis=0)
+    vmax = x.max(axis=0)
+    step = np.where(vmax > vmin, (vmax - vmin) / 255.0, 1.0)
+    return vmin, step
+
+
+def _lit_arr(vals: np.ndarray):
+    return F.array(*[F.lit(float(v)) for v in vals])
+
+
+def sq8_encode(col, vmin: np.ndarray, step: np.ndarray):
+    """array<double> -> array<tinyint> codes, pure codegen: per-dim
+    code = clamp(round((x - vmin)/step), 0, 255) - 128 (shifted into
+    tinyint's signed range; decode adds the 128 back)."""
+    lo = _lit_arr(vmin)
+    st = _lit_arr(step)
+    return F.transform(
+        col,
+        lambda x, i: (
+            F.least(
+                F.greatest(
+                    F.round(
+                        (x - F.element_at(lo, i + 1))
+                        / F.element_at(st, i + 1)
+                    ),
+                    F.lit(0.0),
+                ),
+                F.lit(255.0),
+            )
+            - 128.0
+        ).cast("tinyint"),
+    )
+
+
+def sq8_decode(col, vmin: np.ndarray, step: np.ndarray):
+    """array<tinyint> -> array<double>: vmin + (code + 128) * step."""
+    lo = _lit_arr(vmin)
+    st = _lit_arr(step)
+    return F.transform(
+        col,
+        lambda c, i: F.element_at(lo, i + 1)
+        + (c.cast("double") + 128.0) * F.element_at(st, i + 1),
+    )
+
+
+def ivf_index_sq8(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vmin: np.ndarray,
+    step: np.ndarray,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Corpus -> (vec_id, codes, list_id, inorm): the quantized at-rest
+    shape. ``inorm`` is the norm of the DECODED vector (what search
+    scores against), computed once at build time. List assignment runs
+    on the ORIGINAL floats — quantization must not move a vector across
+    a list boundary."""
+    flat = ivf_index(df, centroids, emb_col=emb_col, id_col=id_col)
+    codes = sq8_encode(F.col("iv"), vmin, step)
+    return flat.select(
+        "vec_id",
+        codes.alias("codes"),
+        "list_id",
+    ).withColumn("inorm", _norm(sq8_decode(F.col("codes"), vmin, step)))
+
+
+def write_bucketed_ivf_index_sq8(
+    df: DataFrame,
+    centroids: np.ndarray,
+    vmin: np.ndarray,
+    step: np.ndarray,
+    table: str,
+    n_buckets: int = 64,
+    path: str | None = None,
+    emb_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> None:
+    """The SQ8 index as a bucketed table clustered on ``list_id`` —
+    same zero-corpus-Exchange search join as the flat form, at 1 byte
+    per dimension at rest."""
+    w = (
+        ivf_index_sq8(
+            df, centroids, vmin, step, emb_col=emb_col, id_col=id_col
+        )
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "list_id")
+        .sortBy("list_id")
+    )
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def ivf_search_sq8(
+    queries: DataFrame,
+    index: DataFrame,
+    centroids: np.ndarray,
+    vmin: np.ndarray,
+    step: np.ndarray,
+    k: int = 10,
+    nprobe: int = 4,
+    emb_col: str = "embedding",
+    query_id_col: str = "q_id",
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Batch IVF-SQ8 search by asymmetric distance: queries stay float,
+    the index decodes inside the join expression —
+
+        q . decode(codes) = q . vmin + (q * step) . (codes + 128)
+
+    so the per-candidate work is one zip_with/aggregate over tinyints
+    (pure codegen, no python, no decode materialization), with
+    ``q . vmin`` and ``q * step`` projected once per query before the
+    probe explode. Returns (q_id, vec_id, cosine, rank) where cosine is
+    EXACTLY cosine(q, decode(codes)) — deterministic, so a full probe
+    equals brute force over the decoded corpus (tested)."""
+    from pyspark.sql.window import Window
+
+    lo = _lit_arr(vmin)
+    st = _lit_arr(step)
+    qside = (
+        queries.select(
+            F.col(query_id_col).alias("q_id"),
+            F.col(emb_col).cast("array<double>").alias("qv"),
+        )
+        .withColumn("qnorm", _norm(F.col("qv")))
+        .withColumn("qconst", _dot(F.col("qv"), lo))
+        .withColumn(
+            "qcoef", F.zip_with(F.col("qv"), st, lambda a, b: a * b)
+        )
+        .withColumn(
+            "list_id",
+            F.explode(_probe_udf(centroids, nprobe)(F.col("qv"))),
+        )
+        .drop("qv")
+    )
+    if broadcast_queries:
+        qside = F.broadcast(qside)
+    iside = index.select("vec_id", "codes", "list_id", "inorm")
+    dot = F.col("qconst") + F.aggregate(
+        F.zip_with(
+            F.col("qcoef"),
+            F.col("codes"),
+            lambda a, c: a * (c.cast("double") + 128.0),
+        ),
+        F.lit(0.0).cast("double"),
+        lambda acc, x: acc + x,
+    )
+    scored = qside.join(iside, "list_id").select(
+        "q_id",
+        "vec_id",
+        (dot / (F.col("qnorm") * F.col("inorm"))).alias("cosine"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
 
 
 def ivf_search(
