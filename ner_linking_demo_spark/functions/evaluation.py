@@ -15,6 +15,21 @@ from pyspark.sql import functions as F
 MENTION_KEY = ["url", "start", "end", "label"]
 
 
+def _at_k_exprs(k: int, pred_col: str, gold_col: str):
+    """Per-mention (p, r, acc) column expressions — THE metric
+    definition, shared by precision_recall_at_k and split_metrics so the
+    'all' stratum of the split report can never drift from the unsplit
+    report."""
+    topk = F.slice(F.col(pred_col), 1, k)
+    inter = F.size(F.array_intersect(topk, F.col(gold_col))).cast("double")
+    p = inter / F.greatest(
+        F.least(F.size(topk), F.lit(k)), F.lit(1)
+    ).cast("double")
+    r = inter / F.greatest(F.size(F.col(gold_col)), F.lit(1)).cast("double")
+    acc = (inter > 0).cast("double")
+    return p, r, acc
+
+
 def precision_recall_at_k(
     pred: DataFrame,
     gold: DataFrame,
@@ -26,11 +41,7 @@ def precision_recall_at_k(
     -> one row: p_at_k, r_at_k, acc_at_k, n (means over aligned mentions;
     alignment join on the offset key mirrors `evaluation.py:372-395`)."""
     j = pred.join(gold, MENTION_KEY, "inner")
-    topk = F.slice(F.col(pred_col), 1, k)
-    inter = F.size(F.array_intersect(topk, F.col(gold_col))).cast("double")
-    p = inter / F.greatest(F.least(F.size(topk), F.lit(k)), F.lit(1)).cast("double")
-    r = inter / F.greatest(F.size(F.col(gold_col)), F.lit(1)).cast("double")
-    acc = (inter > 0).cast("double")
+    p, r, acc = _at_k_exprs(k, pred_col, gold_col)
     return j.agg(
         F.avg(p).alias("p_at_k"),
         F.avg(r).alias("r_at_k"),
@@ -103,13 +114,7 @@ def split_metrics(
         ),
     )
 
-    topk = F.slice(F.col(pred_col), 1, k)
-    inter = F.size(F.array_intersect(topk, F.col(gold_col))).cast("double")
-    p = inter / F.greatest(
-        F.least(F.size(topk), F.lit(k)), F.lit(1)
-    ).cast("double")
-    r = inter / F.greatest(F.size(F.col(gold_col)), F.lit(1)).cast("double")
-    acc = (inter > 0).cast("double")
+    p, r, acc = _at_k_exprs(k, pred_col, gold_col)
 
     per_mention = j.select(
         p.alias("_p"),

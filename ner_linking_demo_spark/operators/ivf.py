@@ -293,6 +293,14 @@ def ivf_index_sq8(
     on the ORIGINAL floats — quantization must not move a vector across
     a list boundary."""
     flat = ivf_index(df, centroids, emb_col=emb_col, id_col=id_col)
+    # int8 codes have no NaN representation: a NaN dimension would
+    # otherwise clamp to code 255 (Spark orders NaN above every double,
+    # so least(NaN, 255.0) = 255.0) and rank with a fabricated ~vmax
+    # value. Exclude poisoned vectors at the boundary — the flat form
+    # keeps them (their cosine is NaN), so the two forms differ on
+    # NaN-poisoned corpora by design; this is the searchable-subset
+    # rule NULL embeddings already follow.
+    flat = flat.where(~F.exists(F.col("iv"), F.isnan))
     codes = sq8_encode(F.col("iv"), vmin, step)
     return flat.select(
         "vec_id",

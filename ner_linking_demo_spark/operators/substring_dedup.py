@@ -26,10 +26,13 @@ with the same detection semantics at token grain:
    (pos_a - pos_b constant); runs chain with a window lag + cumsum,
    and each island becomes a maximal duplicated extent.
 
-In exact mode (``sample_mod=None``) this finds EVERY cross-document
-duplicated run of >= ``min_tokens`` whitespace tokens, with exact
-maximal extents at token granularity — the Lee et al. guarantee,
-restated at token grain. Within-document repetition is out of scope by
+In exact mode (``sample_mod=None``) this finds every cross-document
+duplicated run of >= ``min_tokens`` whitespace tokens whose grams
+survive df-pruning (see :func:`exact_substring_pairs` for the precise
+contract — runs duplicated across more than ``max_df`` documents are
+corpus boilerplate and belong to dedup_lines / MinHash-LSH, which are
+linear in document frequency where a pairwise join is quadratic), with
+exact maximal extents at token granularity. Within-document repetition is out of scope by
 design (the Gopher repetition gate, functions/text_analysis.py, owns
 that signal).
 
@@ -41,9 +44,10 @@ sampling (keep grams whose hash ≡ 0 mod p): selection is a pure
 function of the gram text, so duplicated runs still select IDENTICAL
 gram sets in every copy — detection of a run of t tokens then succeeds
 iff the run contains a selected gram (expected t/p selected; misses
-are possible, extents chain with ``max_gap >= sample mod`` slack), at
-1/p the shuffle volume. Exact mode is the oracle-checked default;
-sampled mode is the documented scale knob.
+are possible, and extents only chain while anchor windows still
+overlap — they under-cover, never over-cover), at 1/p the shuffle
+volume. Exact mode is the oracle-checked default; sampled mode is the
+documented scale knob.
 
 Everything is deterministic, engine-independent SQL (md5 is the house
 cross-engine hash) — the driver entry `dedup_exact_substring` checks
@@ -104,11 +108,12 @@ def exact_substring_pairs(
     docs: DataFrame,
     min_tokens: int = 50,
     n_gram: int = 16,
-    max_df: int = 64,
+    max_df: int | None = 64,
     id_col: str = "doc_id",
     text_col: str = "text",
     sample_mod: int | None = None,
     max_gap: int | None = None,
+    materialize_occurrences: bool = True,
 ) -> DataFrame:
     """Maximal cross-document duplicated token runs:
     (id_a, id_b, begin_a, begin_b, n_tokens), id_a < id_b, one row per
@@ -116,11 +121,37 @@ def exact_substring_pairs(
     between the two documents (positions are 0-based token offsets;
     the extent covers tokens [begin, begin + n_tokens)).
 
-    ``max_gap`` is the anchor-chaining tolerance on the diagonal:
-    1 (default) in exact mode — consecutive grams of a contiguous run
-    are exactly 1 apart, so chains break exactly where the duplication
-    breaks; sampled mode needs ``max_gap`` >= the expected selection
-    gap (defaults to 4*sample_mod).
+    Extent coverage invariant (what makes removal safe): an extent is
+    exactly the union of its anchors' verbatim-shared gram windows, so
+    EVERY token inside a reported extent is verbatim duplicated between
+    the two documents. Anchors chain when their windows can still
+    overlap — the effective chain gap is ``min(max_gap, n_gram)`` — so
+    no extent ever bridges an unverified region (a bridged gap > n_gram
+    would claim tokens no anchor covers). ``max_gap`` defaults to 1 in
+    exact mode (consecutive grams of a contiguous run are exactly 1
+    apart, so chains break exactly where the duplication breaks) and to
+    ``n_gram`` in sampled mode.
+
+    Detection contract, stated precisely:
+
+    - EXACT mode (``sample_mod=None``) finds every cross-document
+      duplicated run of >= ``min_tokens`` tokens **whose grams survive
+      df-pruning**: grams shared by more than ``max_df`` documents are
+      dropped before the pairwise join (a verbatim run duplicated
+      across thousands of documents would otherwise expand into
+      O(df^2) anchor pairs per gram — that corpus-boilerplate regime
+      belongs to dedup_lines / MinHash-LSH, which are linear in df).
+      A pruned gram INSIDE a two-doc run splits its extent; each
+      fragment must independently clear ``min_tokens``. Pass
+      ``max_df=None`` to disable the ceiling on corpora small enough
+      to afford the quadratic expansion.
+    - SAMPLED mode (``sample_mod=p``) keeps only grams with
+      hash ≡ 0 mod p: detection of a run requires it to contain a
+      selected gram, and extents under-cover run edges/interiors where
+      no gram was selected (they never over-cover — see the invariant
+      above). Keep ``sample_mod`` well under ``n_gram`` (expected
+      selection gap ~p must fit inside the window-overlap chain
+      tolerance) or long runs fragment below ``min_tokens``.
 
     First-occurrence caveat (documented, deterministic): anchors use
     each gram's first position per document, so a run whose gram also
@@ -128,6 +159,12 @@ def exact_substring_pairs(
     fragments at that gram. With 16-token grams that requires verbatim
     16-token repetition before the run — rare outside the degenerate
     spam the repetition gate already drops.
+
+    ``materialize_occurrences=False`` skips the localCheckpoint of the
+    pruned occurrence set (it is consumed by both join sides, so the
+    default avoids recomputing the scan twice) — used by the plan
+    audit, which must see the full gram-hashing subtree that a
+    checkpoint boundary would hide.
     """
     if min_tokens < n_gram:
         raise ValueError(
@@ -135,7 +172,10 @@ def exact_substring_pairs(
             "shorter runs carry no complete gram"
         )
     if max_gap is None:
-        max_gap = 1 if sample_mod is None else 4 * sample_mod
+        max_gap = 1 if sample_mod is None else n_gram
+    # window-overlap clamp: chaining past n_gram would bridge tokens no
+    # anchor verifies (the round-5 review's sampled-mode over-merge)
+    max_gap = min(max_gap, n_gram)
 
     occ = token_gram_occurrences(
         docs, n_gram, id_col=id_col, text_col=text_col,
@@ -144,12 +184,15 @@ def exact_substring_pairs(
     # df-pruning: only grams shared by 2..max_df docs can anchor a
     # pair; hotter grams are boilerplate (quadratic join risk).
     counts = occ.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    good = counts.filter(
-        (F.col("df") >= 2) & (F.col("df") <= F.lit(max_df))
-    ).select("h")
+    good = counts.filter(F.col("df") >= 2)
+    if max_df is not None:
+        good = good.filter(F.col("df") <= F.lit(max_df))
+    good = good.select("h")
     # one computation for both join sides (the LSH two-consumer
     # lesson): lazy localCheckpoint, materialized on first use
-    occ2 = occ.join(good, "h").localCheckpoint(eager=False)
+    occ2 = occ.join(good, "h")
+    if materialize_occurrences:
+        occ2 = occ2.localCheckpoint(eager=False)
 
     a = occ2.select(
         F.col("id").alias("id_a"), F.col("h"), F.col("pos").alias("pos_a")
@@ -207,9 +250,13 @@ def remove_duplicate_spans(
     execution order). Token-grain splice, pure codegen: tokens whose
     0-based index falls inside any removed extent are filtered out of
     the split array and the text is re-joined single-spaced (the
-    engine's document normal form). Documents left with no tokens are
-    dropped when ``drop_empty`` (mirrors dedup_lines' hollow-drop
-    rule).
+    engine's document normal form). Documents this pass spliced down to
+    no tokens are dropped when ``drop_empty`` (dedup_lines' hollow-drop
+    rule — and exactly like dedup_lines, docs that were ALREADY
+    empty/NULL and were never cut pass through untouched). Safe to feed
+    from either detection mode: exact_substring_pairs' coverage
+    invariant guarantees every token inside an extent is verbatim
+    duplicated, so removal can never delete unique content.
 
     One exchange: extents aggregate per victim id (dup-pair-scale, not
     corpus-scale), then join the docs scan; non-victim docs pass
@@ -247,8 +294,16 @@ def remove_duplicate_spans(
             if c == text_col
             else docs[c]
             for c in docs.columns
-        ]
+        ],
+        F.col("_cut").isNotNull().alias("_was_cut"),
     )
     if drop_empty:
-        out = out.filter(F.length(F.trim(F.col(text_col))) > 0)
-    return out
+        # hollow-drop applies ONLY to docs this pass actually spliced:
+        # a non-victim doc with NULL/blank text passes through untouched
+        # (the round-5 review caught the unconditional filter silently
+        # deleting such docs — dedup must never drop what it never cut)
+        out = out.filter(
+            ~F.col("_was_cut")
+            | (F.length(F.trim(F.col(text_col))) > 0)
+        )
+    return out.drop("_was_cut")

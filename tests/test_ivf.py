@@ -345,6 +345,7 @@ def test_sq8_constant_dim_and_null_safety(spark):
         (1, [1.0, -3.0, 0.5]),
         (2, [1.0, 4.0, 0.75]),  # dim 0 constant across the corpus
         (3, None),
+        (4, [1.0, float("nan"), 0.5]),  # NaN-poisoned vector
     ]
     vecs = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     cent = train_centroids(vecs, k_lists=2, sample_limit=10)
@@ -353,6 +354,10 @@ def test_sq8_constant_dim_and_null_safety(spark):
     idx = ivf_index_sq8(vecs, cent, vmin, step)
     got = {r["vec_id"]: r["codes"] for r in idx.collect()}
     assert 3 not in got  # NULL excluded at the boundary
+    # NaN has no int8 representation: poisoned vectors are excluded
+    # from the quantized index (round-5 review — they used to clamp to
+    # code 127 and rank with a fabricated ~vmax value)
+    assert 4 not in got
     assert all(c[0] == -128 for c in got.values())  # constant dim -> code 0
     out = ivf_search_sq8(
         spark.createDataFrame(

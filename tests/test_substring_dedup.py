@@ -139,7 +139,7 @@ def test_sampled_mode_detects_long_runs_deterministically(spark):
             }
         )
     )
-    kw = dict(min_tokens=40, n_gram=8, max_df=8, sample_mod=4)
+    kw = dict(min_tokens=16, n_gram=8, max_df=8, sample_mod=2)
     a = sorted(map(tuple, exact_substring_pairs(docs, **kw).collect()))
     b = sorted(
         map(
@@ -151,11 +151,69 @@ def test_sampled_mode_detects_long_runs_deterministically(spark):
     )
     assert a == b  # partitioning-independent (content-defined sampling)
     assert len(a) >= 1
-    (id_a, id_b, begin_a, begin_b, n_tokens) = a[0]
-    # sampled extents sit inside the true run with bounded edge slack
-    assert (id_a, id_b) == (1, 2)
-    assert begin_a >= 7 and begin_a - 7 == begin_b - 13
-    assert n_tokens >= 40
+    covered = 0
+    for id_a, id_b, begin_a, begin_b, n_tokens in a:
+        assert (id_a, id_b) == (1, 2)
+        # coverage invariant: every extent sits INSIDE the planted run
+        # on both sides (under-covers, never over-covers)
+        assert begin_a >= 7 and begin_a - 7 == begin_b - 13
+        assert begin_a + n_tokens <= 7 + 120
+        covered += n_tokens
+    assert covered >= 60  # sample_mod=2 selects ~half the grams
+
+
+def test_sampled_mode_never_bridges_unique_tokens(spark):
+    """Round-5 review regression: two docs identical except a short
+    middle patch must NEVER yield an extent covering the differing
+    tokens (removal would destroy unique content). The window-overlap
+    clamp guarantees it for ANY requested max_gap."""
+    left = _mk("s", 40)
+    right = _mk("t", 40)
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2],
+                "text": [
+                    " ".join(left + ["uniq1", "uniq2", "uniq3"] + right),
+                    " ".join(left + ["diff1", "diff2", "diff3"] + right),
+                ],
+            }
+        )
+    )
+    for kw in (
+        dict(min_tokens=8, n_gram=8, sample_mod=2, max_gap=64),
+        dict(min_tokens=8, n_gram=8),
+    ):
+        ext = exact_substring_pairs(docs, max_df=8, **kw).collect()
+        assert ext, kw
+        for r in ext:
+            # the differing patch occupies tokens 40-42 on both sides
+            inside = set(range(r.begin_a, r.begin_a + r.n_tokens))
+            assert not inside & {40, 41, 42}, (kw, r)
+
+
+def test_removal_passes_through_untouched_null_and_blank_docs(spark):
+    """Round-5 review regression: drop_empty must only apply to docs
+    this pass actually spliced — a non-victim doc with NULL or blank
+    text passes through untouched."""
+    run = _mk("r", 10)
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3, 4],
+                "text": [
+                    " ".join(run),
+                    " ".join(run),
+                    None,
+                    "   ",
+                ],
+            }
+        )
+    )
+    ext = exact_substring_pairs(docs, min_tokens=8, n_gram=4, max_df=8)
+    kept = {r.doc_id: r.text for r in remove_duplicate_spans(docs, ext).collect()}
+    assert set(kept) == {1, 3, 4}  # 2 hollowed+dropped; 3/4 untouched
+    assert kept[3] is None and kept[4] == "   "
 
 
 def test_null_and_short_docs_emit_nothing(spark):

@@ -378,8 +378,15 @@ def main() -> int:
         exact_substring_pairs,
     )
 
+    # materialize_occurrences=False: the production path localCheckpoints
+    # the pruned occurrence set, which would hide the gram-hashing
+    # subtree (everything below the checkpoint prints as a LogicalRDD
+    # scan) and make these checks vacuous — audit the full plan instead
     p = plan_of(
-        exact_substring_pairs(docs, min_tokens=12, n_gram=8, max_df=16)
+        exact_substring_pairs(
+            docs, min_tokens=12, n_gram=8, max_df=16,
+            materialize_occurrences=False,
+        )
     )
     text_in_exchange = any(
         block.startswith("Exchange") and "text#" in block
