@@ -164,6 +164,16 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
                     "the first occurrence (min (doc_id, position)) "
                     "keeps its original text, fully-hollowed docs are "
                     "dropped")
+    ap.add_argument("--substring-dedup", type=int, default=None,
+                    metavar="MIN_TOKENS",
+                    help="with --curate: ExactSubstr dedup (Lee et al. "
+                    "2022) on raw text after line dedup — cross-doc "
+                    "verbatim runs of >= MIN_TOKENS whitespace tokens "
+                    "are spliced out of every copy but the "
+                    "lowest-doc_id one; hollowed docs drop")
+    ap.add_argument("--substring-ngram", type=int, default=16,
+                    help="with --substring-dedup: anchor gram width in "
+                    "tokens (default 16; MIN_TOKENS must be >= this)")
     ap.add_argument("--decontam-report", action="store_true",
                     help="with --curate --decontam: additionally write "
                     "<out>/contamination — the per-match attribution "
@@ -629,6 +639,8 @@ def _run_curation(args, stop_session: bool) -> None:
             decontam_ngram=args.decontam_ngram,
             scrub_pii=args.scrub_pii,
             line_dedup=args.line_dedup,
+            substring_dedup=args.substring_dedup,
+            substring_ngram=args.substring_ngram,
             domain_blocklist=args.domain_blocklist,
             near_dup=True,
             jaccard_threshold=args.jaccard,

@@ -82,6 +82,9 @@ def run_corpus_pipeline(
     min_tokens: int | None = None,
     line_dedup: bool = False,
     line_dedup_min_count: int = 2,
+    substring_dedup: int | None = None,
+    substring_ngram: int = 16,
+    substring_max_df: int | None = 64,
     near_dup: bool = True,
     n_hashes: int = 16,
     bands: int = 4,
@@ -182,7 +185,12 @@ def run_corpus_pipeline(
     conf = (
         f"{lang_allow}|{min_quality}|{min_tokens}|{near_dup}|{n_hashes}"
         f"|{line_dedup}:{line_dedup_min_count if line_dedup else ''}"
-        f"|{bands}|{shingle_size}|{jaccard_threshold}"
+        + (
+            f"|ss:{substring_dedup}:{substring_ngram}:{substring_max_df}"
+            if substring_dedup is not None
+            else ""
+        )
+        + f"|{bands}|{shingle_size}|{jaccard_threshold}"
         # scrub_pii is deliberately NOT in the signature: redaction is
         # applied AFTER the last checkpointed stage (on the loaded kept
         # set), so toggling it must not invalidate warm snapshots
@@ -230,6 +238,33 @@ def run_corpus_pipeline(
         docs = docs.drop(text_col).join(deduped, id_col)
         if collect_stats:
             stats["after_line_dedup"] = docs.count()
+
+    if substring_dedup is not None:
+        # ExactSubstr (Lee et al. 2022) runs on RAW text like line
+        # dedup, BEFORE annotation, so spliced documents get honest
+        # token/quality/fingerprint signals and packing budgets: detect
+        # cross-doc duplicated runs of >= substring_dedup tokens, keep
+        # the lowest-id copy, splice the runs out of every other copy
+        # (hollowed docs drop). See operators/substring_dedup.py for
+        # the coverage invariant that makes the splice safe.
+        from ..operators.substring_dedup import (
+            exact_substring_pairs,
+            remove_duplicate_spans,
+        )
+
+        ext = exact_substring_pairs(
+            docs.select(id_col, text_col),
+            min_tokens=int(substring_dedup),
+            n_gram=substring_ngram,
+            max_df=substring_max_df,
+            id_col=id_col,
+            text_col=text_col,
+        )
+        docs = remove_duplicate_spans(
+            docs, ext, id_col=id_col, text_col=text_col
+        )
+        if collect_stats:
+            stats["after_substring_dedup"] = docs.count()
 
     ann = annotate_docs(docs, text_col, token_counter=token_counter)
     cond = F.lit(True)

@@ -49,6 +49,8 @@ def incremental_corpus_pipeline(
     scrub_pii: bool = False,
     line_dedup: bool = False,
     line_dedup_min_count: int = 2,
+    substring_dedup: int | None = None,
+    substring_ngram: int = 16,
     n_hashes: int = 16,
     bands: int = 4,
     shingle_size: int = 3,
@@ -95,6 +97,27 @@ def incremental_corpus_pipeline(
                 keep_empty=False,
             ).select(id_col, text_col)
             batch_df = batch_df.drop(text_col).join(deduped, id_col)
+        if substring_dedup is not None:
+            # SHARD-LOCAL ExactSubstr (same scoping rule as line_dedup:
+            # within the micro-batch, deterministic per batch content,
+            # so replays publish identical results; cross-batch
+            # substring history would need a gram store and is
+            # deliberately not claimed here)
+            from ..operators.substring_dedup import (
+                exact_substring_pairs,
+                remove_duplicate_spans,
+            )
+
+            ext = exact_substring_pairs(
+                batch_df.select(id_col, text_col),
+                min_tokens=int(substring_dedup),
+                n_gram=substring_ngram,
+                id_col=id_col,
+                text_col=text_col,
+            )
+            batch_df = remove_duplicate_spans(
+                batch_df, ext, id_col=id_col, text_col=text_col
+            )
         ann = annotate_docs(batch_df, text_col)
         cond = F.lit(True)
         if lang_allow is not None:

@@ -237,3 +237,108 @@ def test_parameter_validation(spark, docs_df):
         token_gram_occurrences(docs_df, n_gram=0)
     with pytest.raises(ValueError, match="sample_mod"):
         token_gram_occurrences(docs_df, n_gram=4, sample_mod=0)
+
+
+def test_corpus_pipeline_substring_stage(spark, tmp_path):
+    """run_corpus_pipeline(substring_dedup=N): planted verbatim runs are
+    spliced out of all but the lowest-id copy BEFORE annotation (token
+    counts reflect the spliced text), and the stage is pinned into the
+    checkpoint signature."""
+    from ner_linking_demo_spark.plans.corpus_pipeline import (
+        run_corpus_pipeline,
+    )
+
+    run = _mk("v", 20)
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [f"u{i}" for i in range(6)],
+                "text": [
+                    " ".join(_mk(f"a{i}_", 6) + (run if i < 3 else []))
+                    for i in range(6)
+                ],
+            }
+        )
+    )
+    res = run_corpus_pipeline(
+        spark, docs, min_tokens=3, near_dup=False,
+        substring_dedup=12, substring_ngram=4, collect_stats=True,
+    )
+    kept = {r.doc_id: r for r in res.kept.collect()}
+    assert set(kept) == {f"u{i}" for i in range(6)}
+    assert kept["u0"].text.split()[-20:] == run  # first copy intact
+    for i in (1, 2):
+        assert kept[f"u{i}"].text.split() == _mk(f"a{i}_", 6)
+        assert kept[f"u{i}"].n_tokens == 6  # annotated AFTER splice
+    assert "after_substring_dedup" in res.stats
+
+    # signature pinning: toggling the stage must not resume old snaps
+    ck = str(tmp_path / "ck")
+    a = run_corpus_pipeline(
+        spark, docs, min_tokens=3, near_dup=False,
+        substring_dedup=12, substring_ngram=4,
+        checkpoint_dir=ck, input_sig="fixed",
+    ).kept.toPandas()
+    b = run_corpus_pipeline(
+        spark, docs, min_tokens=3, near_dup=False,
+        checkpoint_dir=ck, input_sig="fixed",
+    ).kept.toPandas()
+    assert sorted(a.n_tokens) != sorted(b.n_tokens)
+
+
+def test_streaming_substring_parity(spark, tmp_path):
+    """One micro-batch through incremental_corpus_pipeline with
+    substring_dedup == the batch pipeline on the same docs (shard-local
+    semantics: the batch IS the shard here)."""
+    import shutil
+
+    from ner_linking_demo_spark.plans.corpus_pipeline import (
+        run_corpus_pipeline,
+    )
+    from ner_linking_demo_spark.plans.fs import BatchLayout
+    from ner_linking_demo_spark.streaming.corpus import (
+        incremental_corpus_pipeline,
+    )
+
+    run = _mk("w", 20)
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [f"d{i}" for i in range(4)],
+            "text": [
+                " ".join(_mk(f"b{i}_", 5) + (run if i < 2 else []))
+                for i in range(4)
+            ],
+        }
+    )
+    src = str(tmp_path / "src")
+    spark.createDataFrame(pdf).write.parquet(src)
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    stream = spark.readStream.schema("doc_id string, text string").parquet(
+        src
+    )
+    q = incremental_corpus_pipeline(
+        spark, stream, out, ckpt, min_tokens=3,
+        substring_dedup=12, substring_ngram=4, est_threshold=0.95,
+    )
+    q.awaitTermination(120)
+    got = (
+        BatchLayout(spark, f"{out}/kept")
+        .read()
+        .select("doc_id", "text", "n_tokens")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        run_corpus_pipeline(
+            spark, spark.createDataFrame(pdf), min_tokens=3,
+            near_dup=False, substring_dedup=12, substring_ngram=4,
+        )
+        .kept.select("doc_id", "text", "n_tokens")
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+    shutil.rmtree(out, ignore_errors=True)
