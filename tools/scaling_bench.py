@@ -53,10 +53,13 @@ def hardware_ceiling(n: int, n4: int, rounds: int = 3) -> dict:
                 walls[lvl].append(time.time() - t0)
     tp_n = (n * 2) / statistics.median(walls[n])
     tp_n4 = (n4 * 2) / statistics.median(walls[n4])
+    # normalize by the ACTUAL core ratio of the pair (was hardcoded 4,
+    # which overstated the upper-step ceiling for the 4->32 pair by 2x)
+    ratio = n4 / n
     return {
         "burns_per_sec_n": round(tp_n, 2),
         "burns_per_sec_4n": round(tp_n4, 2),
-        "ceiling": round(tp_n4 / (4 * tp_n), 3),
+        "ceiling": round(tp_n4 / (ratio * tp_n), 3),
     }
 
 
