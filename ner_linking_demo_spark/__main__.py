@@ -169,11 +169,18 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
                     help="with --curate: ExactSubstr dedup (Lee et al. "
                     "2022) on raw text after line dedup — cross-doc "
                     "verbatim runs of >= MIN_TOKENS whitespace tokens "
-                    "are spliced out of every copy but the "
+                    "(shared by at most --substring-max-df docs; "
+                    "hotter runs are boilerplate for --line-dedup / "
+                    "near-dup) are spliced out of every copy but the "
                     "lowest-doc_id one; hollowed docs drop")
     ap.add_argument("--substring-ngram", type=int, default=16,
                     help="with --substring-dedup: anchor gram width in "
                     "tokens (default 16; MIN_TOKENS must be >= this)")
+    ap.add_argument("--substring-max-df", type=int, default=64,
+                    help="with --substring-dedup: df-pruning ceiling — "
+                    "grams shared by more docs than this cannot anchor "
+                    "pairs (quadratic-join guard; default 64; 0 "
+                    "disables the ceiling on small corpora)")
     ap.add_argument("--decontam-report", action="store_true",
                     help="with --curate --decontam: additionally write "
                     "<out>/contamination — the per-match attribution "
@@ -357,6 +364,17 @@ def main(argv: list[str] | None = None, stop_session: bool = True) -> None:
                 ap.error(f"--{req} is required for --curate")
         if args.decontam_report and not args.decontam:
             ap.error("--decontam-report requires --decontam")
+        if (
+            args.substring_dedup is not None
+            and args.substring_dedup < args.substring_ngram
+        ):
+            # fail fast at argparse time — the pipeline would only
+            # raise this after the Spark session is up and pages read
+            ap.error(
+                f"--substring-dedup ({args.substring_dedup}) must be "
+                f">= --substring-ngram ({args.substring_ngram}): "
+                "shorter runs carry no complete anchor gram"
+            )
         _run_curation(args, stop_session)
         return
     for req in ("pages", "gazetteer", "out"):
@@ -641,6 +659,10 @@ def _run_curation(args, stop_session: bool) -> None:
             line_dedup=args.line_dedup,
             substring_dedup=args.substring_dedup,
             substring_ngram=args.substring_ngram,
+            substring_max_df=(
+                args.substring_max_df if args.substring_max_df > 0
+                else None
+            ),
             domain_blocklist=args.domain_blocklist,
             near_dup=True,
             jaccard_threshold=args.jaccard,

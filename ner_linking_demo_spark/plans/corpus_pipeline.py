@@ -136,9 +136,10 @@ def run_corpus_pipeline(
     its content fingerprint rides the checkpoint signature;
     ``domain_cap`` keeps at most that many docs per host (``approx``
     strategy = skew-immune expectation cap, ``exact`` = windowed). ``stats`` records per-stage surviving counts when
-    ``collect_stats=True`` — up to five extra distributed counts per
-    run (input / after_line_dedup / after_filter / after_exact / kept),
-    so
+    ``collect_stats=True`` — up to six extra distributed counts per
+    run (input / after_line_dedup / after_substring_dedup /
+    after_filter / after_exact / kept; the substring one re-executes
+    the full gram/pair/splice lineage and is the most expensive), so
     the throughput path defaults them OFF (checkpointed runs get the
     same numbers for free from the lineage log; ad-hoc diagnostics can
     opt in)."""

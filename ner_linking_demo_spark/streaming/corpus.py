@@ -51,6 +51,7 @@ def incremental_corpus_pipeline(
     line_dedup_min_count: int = 2,
     substring_dedup: int | None = None,
     substring_ngram: int = 16,
+    substring_max_df: int | None = 64,
     n_hashes: int = 16,
     bands: int = 4,
     shingle_size: int = 3,
@@ -112,6 +113,7 @@ def incremental_corpus_pipeline(
                 batch_df.select(id_col, text_col),
                 min_tokens=int(substring_dedup),
                 n_gram=substring_ngram,
+                max_df=substring_max_df,
                 id_col=id_col,
                 text_col=text_col,
             )

@@ -133,7 +133,10 @@ def main() -> None:
     best = {lvl: max(v) for lvl, v in samples.items()}
     lo = {lvl: min(v) for lvl, v in samples.items()}
 
-    eff_28 = med[n4_lvl] / (4 * med[n_lvl])
+    # divide by the pair's ACTUAL core ratio (review find: a hardcoded
+    # 4 here against a ratio-correct ceiling would inflate the gate for
+    # any non-4x NLDS_SCALING_LEVELS primary pair)
+    eff_28 = med[n4_lvl] / ((n4_lvl / n_lvl) * med[n_lvl])
     eff_832 = (
         med[levels[-1]] / ((levels[-1] / n4_lvl) * med[n4_lvl])
         if len(levels) > 2
