@@ -528,6 +528,13 @@ def main() -> None:
         )
 
     # --- interleaved rounds, median per benchmark ------------------------
+    # steady-state warmup of the KG hot path: the first fused-UDF run of
+    # a session pays one-time costs (python worker pool growth to the
+    # full task width, UDF/codegen JIT, AQE statistics) that are setup,
+    # not throughput — round-5 measurements showed it as a consistent
+    # ~2x relative spread on kg_pipeline_e2e. One untimed run makes the
+    # interleaved medians measure what the docstring promises.
+    benches[0][1]()
     samples: dict[str, list[float]] = {name: [] for name, _ in benches}
     for _ in range(rounds):
         for name, thunk in benches:
@@ -552,7 +559,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "queries_spread": spread,
-                "protocol": f"interleaved median of {rounds}",
+                "protocol": f"interleaved median of {rounds}, kg warmup",
                 "idle_probe": idle,
                 "sf": sf_dir,
                 "cpus": cpus,
