@@ -61,6 +61,64 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 
+def _gram_rows(
+    docs: DataFrame,
+    n_gram: int,
+    id_col: str,
+    text_col: str,
+    sample_mod: int | None,
+) -> DataFrame:
+    """Raw (id, pos, h) gram-occurrence rows (pre-dedup), computed
+    entirely inside the scan projection. In exact mode ``h`` is
+    ``xxhash64`` of the token slice (8 bytes — no joined-string
+    allocation, ~4x cheaper per gram and ~2x narrower shuffle rows than
+    the md5-hex form; ``h`` is only ever an equality key, so the final
+    extents are identical). In sampled mode ``h`` stays md5 of the
+    space-joined gram: the documented selection contract (keep grams
+    with md5-prefix ≡ 0 mod p) is a pure function of the gram TEXT and
+    must not change with the key encoding."""
+    if n_gram < 1:
+        raise ValueError("n_gram must be >= 1")
+    # Materialize the token array in its OWN projection and reference it
+    # as a column inside the gram lambda. Building the split inline
+    # (the pre-round-6 form) re-evaluated split(trim(text)) for EVERY
+    # gram position — non-lambda subexpressions inside a higher-order
+    # function's lambda are re-evaluated per element and never CSE'd —
+    # an O(tokens^2) regex pathology that dominated this operator
+    # (measured 20.4s of a 23s run at sf1.0 for the gram pass alone).
+    # The multiple references below (size() twice + the lambda) also
+    # stop CollapseProject from inlining the split back in.
+    toked = docs.select(
+        F.col(id_col).alias("id"),
+        F.split(F.trim(F.col(text_col)), r"\s+").alias("_toks"),
+    )
+    toks = F.col("_toks")
+    # sequence() auto-steps -1 when start > stop: guard short docs
+    idx = F.when(
+        F.size(toks) >= n_gram,
+        F.sequence(F.lit(0), F.size(toks) - n_gram),
+    ).otherwise(F.array().cast("array<int>"))
+    if sample_mod is None:
+        hash_of = lambda i: F.xxhash64(F.slice(toks, i + 1, n_gram))  # noqa: E731
+    else:
+        if sample_mod < 1:
+            raise ValueError("sample_mod must be >= 1")
+        hash_of = lambda i: F.md5(  # noqa: E731
+            F.array_join(F.slice(toks, i + 1, n_gram), " ")
+        )
+    grams = toked.select(
+        "id",
+        F.posexplode(F.transform(idx, hash_of)).alias("pos", "h"),
+    )
+    if sample_mod is not None:
+        grams = grams.filter(
+            F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
+            % sample_mod
+            == 0
+        )
+    return grams
+
+
 def token_gram_occurrences(
     docs: DataFrame,
     n_gram: int,
@@ -69,38 +127,14 @@ def token_gram_occurrences(
     sample_mod: int | None = None,
 ) -> DataFrame:
     """(id, pos, h): the FIRST occurrence position of every distinct
-    ``n_gram``-token window per document; ``h`` = md5 of the
-    space-joined gram. Tokenization is the engine-wide Spark split on
-    java ``\\s+`` (decontamination parity rule: one tokenization
-    expression for every physical form). Documents shorter than
-    ``n_gram`` tokens emit nothing; NULL text emits nothing."""
-    if n_gram < 1:
-        raise ValueError("n_gram must be >= 1")
-    toks = F.split(F.trim(F.col(text_col)), r"\s+")
-    # sequence() auto-steps -1 when start > stop: guard short docs
-    idx = F.when(
-        F.size(toks) >= n_gram,
-        F.sequence(F.lit(0), F.size(toks) - n_gram),
-    ).otherwise(F.array().cast("array<int>"))
-    grams = docs.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(
-            F.transform(
-                idx,
-                lambda i: F.md5(
-                    F.array_join(F.slice(toks, i + 1, n_gram), " ")
-                ),
-            )
-        ).alias("pos", "h"),
-    )
-    if sample_mod is not None:
-        if sample_mod < 1:
-            raise ValueError("sample_mod must be >= 1")
-        grams = grams.filter(
-            F.conv(F.substring("h", 1, 8), 16, 10).cast("long")
-            % sample_mod
-            == 0
-        )
+    ``n_gram``-token window per document; ``h`` = xxhash64 of the token
+    slice (exact mode) or md5 of the space-joined gram (sampled mode —
+    see :func:`_gram_rows`; either way ``h`` is pure equality key).
+    Tokenization is the engine-wide Spark split on java ``\\s+``
+    (decontamination parity rule: one tokenization expression for every
+    physical form). Documents shorter than ``n_gram`` tokens emit
+    nothing; NULL text emits nothing."""
+    grams = _gram_rows(docs, n_gram, id_col, text_col, sample_mod)
     return grams.groupBy("id", "h").agg(F.min("pos").alias("pos"))
 
 
@@ -160,11 +194,9 @@ def exact_substring_pairs(
     16-token repetition before the run — rare outside the degenerate
     spam the repetition gate already drops.
 
-    ``materialize_occurrences=False`` skips the localCheckpoint of the
-    pruned occurrence set (it is consumed by both join sides, so the
-    default avoids recomputing the scan twice) — used by the plan
-    audit, which must see the full gram-hashing subtree that a
-    checkpoint boundary would hide.
+    ``materialize_occurrences`` is retained for API compatibility and
+    ignored: the occurrence set now has exactly ONE consumer (the
+    single-pass plan below), so there is nothing to materialize.
     """
     if min_tokens < n_gram:
         raise ValueError(
@@ -177,34 +209,52 @@ def exact_substring_pairs(
     # anchor verifies (the round-5 review's sampled-mode over-merge)
     max_gap = min(max_gap, n_gram)
 
-    occ = token_gram_occurrences(
-        docs, n_gram, id_col=id_col, text_col=text_col,
-        sample_mod=sample_mod,
+    # Single-pass plan (round-6 optimization; guide §2.4 "remove
+    # shuffles outright"): hash-cluster the raw gram rows by h ONCE,
+    # then first-occurrence dedup, df-pruning and anchor-pair
+    # generation all run IN PLACE on that one partitioning —
+    # HashPartitioning(h) satisfies the clustering requirement of every
+    # downstream groupBy/window whose keys contain h, so Catalyst
+    # inserts no further exchange. The previous form paid two full
+    # gram-hashing passes (counts + the checkpointed join input) and
+    # four exchanges; this one pays ONE pass and ONE gram-row exchange
+    # (plus the dup-pair-scale islands window). repartition carries no
+    # explicit partition count, so AQE sizes/coalesces it from the data
+    # (scale-adaptive, not tuned to local[32]).
+    grams = _gram_rows(docs, n_gram, id_col, text_col, sample_mod)
+    occ = (
+        grams.repartition(F.col("h"))
+        .groupBy("h", "id")
+        .agg(F.min("pos").alias("pos"))
     )
     # df-pruning: only grams shared by 2..max_df docs can anchor a
-    # pair; hotter grams are boilerplate (quadratic join risk).
-    counts = occ.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    good = counts.filter(F.col("df") >= 2)
+    # pair; hotter grams are boilerplate (quadratic join risk). The
+    # per-gram doc count is a window over the SAME h clustering —
+    # streaming count, never a collected list, so an over-max_df
+    # boilerplate gram costs a counter, not memory.
+    occ = occ.withColumn(
+        "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+    ).filter(F.col("df") >= 2)
     if max_df is not None:
-        good = good.filter(F.col("df") <= F.lit(max_df))
-    good = good.select("h")
-    # one computation for both join sides (the LSH two-consumer
-    # lesson): lazy localCheckpoint, materialized on first use
-    occ2 = occ.join(good, "h")
-    if materialize_occurrences:
-        occ2 = occ2.localCheckpoint(eager=False)
-
-    a = occ2.select(
-        F.col("id").alias("id_a"), F.col("h"), F.col("pos").alias("pos_a")
+        occ = occ.filter(F.col("df") <= F.lit(max_df))
+    # anchor pairs per surviving gram, generated in place: collect the
+    # (<= max_df) occurrence structs per gram and explode both sides.
+    # With max_df=None the per-gram list is unbounded — the docstring
+    # already restricts that setting to corpora small enough to afford
+    # the quadratic expansion.
+    lists = occ.groupBy("h").agg(
+        F.collect_list(F.struct("id", "pos")).alias("occs")
     )
-    b = occ2.select(
-        F.col("id").alias("id_b"), F.col("h"), F.col("pos").alias("pos_b")
-    )
-    anchors = a.join(b, "h").filter(F.col("id_a") < F.col("id_b")).select(
-        "id_a",
-        "id_b",
-        (F.col("pos_a") - F.col("pos_b")).alias("diag"),
-        "pos_a",
+    anchors = (
+        lists.select(F.col("occs"), F.explode("occs").alias("a"))
+        .select("a", F.explode("occs").alias("b"))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+            F.col("a.pos").alias("pos_a"),
+        )
     )
 
     w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
