@@ -65,7 +65,11 @@ def lang_id(text: Column) -> Column:
 
 
 def punct_ratio(text: Column) -> Column:
-    n_punct = F.length(F.regexp_replace(text, r"[^\p{P}]", ""))
+    # regexp_count of the single-char class == length of the all-punct
+    # extraction (each punctuation char is one match) without building
+    # the extracted string — value-identical for BMP text, measurably
+    # cheaper on the corpus scan (round-6 optimization)
+    n_punct = F.regexp_count(text, F.lit(r"\p{P}"))
     return n_punct.cast("double") / F.greatest(F.length(text), F.lit(1)).cast(
         "double"
     )
@@ -96,6 +100,93 @@ def quality_score(text: Column) -> Column:
     return (len_ok * 0.3 + mwl_ok * 0.2 + p_ok * 0.2 + sw_ok * 0.3).alias(
         "quality"
     )
+
+
+def add_profile_columns(
+    docs,
+    text_col: str = "text",
+    n_tokens: str | None = None,
+    bpe_tokens: str | None = None,
+    lang: str | None = None,
+    quality: str | None = None,
+    fingerprint: str | None = None,
+):
+    """Add any subset of the scan-projection profile columns
+    (token count, BPE-ish count, language id, quality heuristic,
+    content fingerprint) computing each shared intermediate ONCE.
+
+    The standalone column functions (``lang_id``, ``quality_score``,
+    ``token_count``, …) each build their own token split and stopword
+    passes; composed naively (the pre-round-6 ``annotate_docs`` /
+    ``text_analysis`` entry) that meant 4 independent token splits and
+    4 stopword scans per document — and expressions inside interpreted
+    higher-order functions are never CSE'd across output columns. Here
+    the token array and a single fused (es, en) stopword aggregate are
+    materialized as intermediate columns; because each is referenced
+    several times by non-cheap consumers, CollapseProject keeps them
+    materialized and every downstream column is scalar arithmetic.
+    Values are identical to the standalone functions (same expression
+    per component, same evaluation order — parity-tested)."""
+    t = F.col(text_col)
+    out_cols: dict[str, Column] = {}
+    helpers: list[str] = []
+    need_sw = lang is not None or quality is not None
+    need_toks = need_sw or n_tokens is not None or quality is not None
+    tmp = docs
+    if need_toks:
+        tmp = tmp.withColumn("_pf_toks", tokens(t))
+        helpers.append("_pf_toks")
+    toks = F.col("_pf_toks")
+    if need_sw:
+        es_arr = F.array(*[F.lit(w) for w in ES_STOPWORDS])
+        en_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
+        zero = F.lit(0)
+        sw = F.aggregate(
+            F.transform(toks, lambda x: F.lower(x)),
+            F.struct(zero.alias("es"), zero.alias("en")),
+            lambda acc, x: F.struct(
+                (
+                    acc["es"]
+                    + F.when(F.array_contains(es_arr, x), 1).otherwise(0)
+                ).alias("es"),
+                (
+                    acc["en"]
+                    + F.when(F.array_contains(en_arr, x), 1).otherwise(0)
+                ).alias("en"),
+            ),
+        )
+        tmp = tmp.withColumn("_pf_sw", sw)
+        helpers.append("_pf_sw")
+    es_hits = F.col("_pf_sw")["es"]
+    en_hits = F.col("_pf_sw")["en"]
+    if n_tokens is not None:
+        out_cols[n_tokens] = F.size(toks)
+    if bpe_tokens is not None:
+        out_cols[bpe_tokens] = bpe_ish_token_count(t)
+    if lang is not None:
+        out_cols[lang] = (
+            F.when((es_hits > en_hits) & (es_hits > 0), F.lit("es"))
+            .when((en_hits > es_hits) & (en_hits > 0), F.lit("en"))
+            .otherwise(F.lit("unknown"))
+        )
+    if quality is not None:
+        n = F.size(toks).cast("double")
+        len_ok = F.least(n / F.lit(50.0), F.lit(1.0))
+        mwl = F.aggregate(
+            toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+        ).cast("double") / F.greatest(F.size(toks), F.lit(1)).cast("double")
+        mwl_ok = F.when((mwl >= 3.0) & (mwl <= 12.0), 1.0).otherwise(0.3)
+        p_ok = F.when(punct_ratio(t) <= 0.2, 1.0).otherwise(0.3)
+        sw_total = (es_hits + en_hits).cast("double")
+        sw_ok = F.least(
+            sw_total / F.greatest(n * F.lit(0.1), F.lit(1.0)), F.lit(1.0)
+        )
+        out_cols[quality] = (
+            len_ok * 0.3 + mwl_ok * 0.2 + p_ok * 0.2 + sw_ok * 0.3
+        )
+    if fingerprint is not None:
+        out_cols[fingerprint] = content_fingerprint(t)
+    return tmp.withColumns(out_cols).drop(*helpers)
 
 
 def content_fingerprint(text: Column) -> Column:

@@ -132,9 +132,21 @@ def connected_components(
             spark = edges.sparkSession
             # explicit schema: an empty edge set (e.g. a corpus with no
             # near-duplicate pairs) must yield a schema-stable empty
-            # result, not a CANNOT_INFER_EMPTY_SCHEMA error
-            return spark.createDataFrame(
-                sorted(comp.items()), schema="node string, component string"
+            # result, not a CANNOT_INFER_EMPTY_SCHEMA error.
+            # broadcast hint: this result is driver-sized BY
+            # CONSTRUCTION (<= 2 * driver_threshold rows) but lands in
+            # downstream plans as a stats-less parallelized RDD, so
+            # without the hint a consumer like run_corpus_pipeline's
+            # representative anti-join plans a full sort-merge exchange
+            # of the corpus against a dimension-sized table (round-6;
+            # guide §3.1 "estimates are often badly wrong — hint when
+            # you know a side is small"). The distributed path below
+            # stays unhinted: its output is graph-sized.
+            return F.broadcast(
+                spark.createDataFrame(
+                    sorted(comp.items()),
+                    schema="node string, component string",
+                )
             )
     all_nodes = (
         e.select(F.col("src").alias("node"))

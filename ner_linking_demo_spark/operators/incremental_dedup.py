@@ -180,11 +180,10 @@ def resignature_store(
     src = docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("text")
     )
-    # ONE store scan + ONE docs scan, materialized once; the per-batch
-    # driver loop then filters the checkpointed (id, batch_id, text) set
-    # instead of re-running both scans O(#batches) times. The
-    # materialization is corpus-sized — the inherent cost of a job that
-    # must re-shingle every stored text anyway, paid to local disk once.
+    # ONE store scan, materialized once (id + batch id only — small
+    # rows); coverage validation is a single anti-join COUNT against
+    # the docs scan with the text column pruned (round-6: replaces two
+    # full distinct-count jobs over a text-carrying materialization).
     members = (
         hist.select(
             "id", F.col("batch_id").cast("string").alias("batch_id")
@@ -192,12 +191,15 @@ def resignature_store(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    work = members.join(src, "id").localCheckpoint(eager=True)
-    n_store_ids = members.select("id").distinct().count()
-    n_work_ids = work.select("id").distinct().count()
-    if n_work_ids < n_store_ids:
+    n_missing = (
+        members.select("id")
+        .distinct()
+        .join(src.select("id"), "id", "left_anti")
+        .count()
+    )
+    if n_missing:
         raise ValueError(
-            f"{n_store_ids - n_work_ids} ids in the signature store "
+            f"{n_missing} ids in the signature store "
             "have no text in the docs input — a re-signed store missing "
             "them would silently stop matching their duplicates"
         )
@@ -205,6 +207,15 @@ def resignature_store(
         r["batch_id"]
         for r in members.select("batch_id").distinct().collect()
     )
+    # multi-batch stores materialize the (id, batch_id, text) set once
+    # so the per-batch driver loop filters it instead of re-running
+    # both scans O(#batches) times; a single-batch store (the common
+    # migration of an uncompacted or freshly-compacted history) skips
+    # the corpus-sized text write entirely — its one consumer reads the
+    # join directly.
+    work = members.join(src, "id")
+    if len(batch_ids) > 1:
+        work = work.localCheckpoint(eager=True)
     for b in batch_ids:
         docs_b = work.filter(F.col("batch_id") == b).select("id", "text")
         sigs = minhash_signatures_df(

@@ -225,7 +225,15 @@ def train_sq8_bounds(
     dimensions get step 1.0 so encode/decode stays exact (code 0 ->
     vmin) instead of dividing by zero."""
     rows = (
-        df.where(F.col(emb_col).isNotNull())
+        # NaN-poisoned vectors must not train the bounds: one NaN in the
+        # sample makes that dimension's vmin/vmax NaN, every encode
+        # clamps to code 255 (least(NaN, 255.0) = 255.0) and the whole
+        # index decodes to NaN — the same boundary rule ivf_index_sq8
+        # applies to the index side (round-6 advice fix).
+        df.where(
+            F.col(emb_col).isNotNull()
+            & ~F.exists(F.col(emb_col), F.isnan)
+        )
         .select(F.col(id_col).alias("id"), F.col(emb_col).alias("v"))
         .orderBy("id")
         .limit(sample_limit)

@@ -311,6 +311,53 @@ def detect_and_link(
     return balanced.mapInPandas(run, schema=LINKED_SCHEMA)
 
 
+def _k_distinct_fold(cands: DataFrame, k: int) -> DataFrame:
+    """candidates -> (mention key, span, codes, scores) in ONE exchange:
+    collect each mention's candidates, sort by rank (unique per mention
+    — knn_candidates emits positional ranks, the rerank paths emit
+    row_numbers), and fold keeping the first ``k`` distinct codes with
+    the score at each code's first occurrence. Exactly the semantic of
+    ``k_distinct_codes`` + the ordered groupBy in :func:`link_mentions`,
+    without the two window shuffles."""
+    sorted_c = F.array_sort(
+        F.collect_list(F.struct("rank", "code", "score"))
+    )
+    acc0 = F.array().cast("array<struct<code:string,score:float>>")
+    picked = lambda col: F.aggregate(  # noqa: E731
+        col,
+        acc0,
+        lambda acc, x: F.when(
+            (F.size(acc) >= F.lit(k))
+            | F.exists(acc, lambda c: c["code"] == x["code"]),
+            acc,
+        ).otherwise(
+            F.concat(
+                acc,
+                F.array(
+                    F.struct(
+                        x["code"].alias("code"), x["score"].alias("score")
+                    )
+                ),
+            )
+        ),
+    )
+    grouped = cands.groupBy(*MENTION_KEY, "span").agg(
+        sorted_c.alias("_cands")
+    )
+    # _kd is referenced twice below (codes + scores): the separate
+    # projection keeps CollapseProject from inlining (and therefore
+    # re-running) the fold per output column
+    folded = grouped.select(
+        *MENTION_KEY, "span", picked(F.col("_cands")).alias("_kd")
+    )
+    return folded.select(
+        *MENTION_KEY,
+        "span",
+        F.transform(F.col("_kd"), lambda s: s["code"]).alias("codes"),
+        F.transform(F.col("_kd"), lambda s: s["score"]).alias("scores"),
+    )
+
+
 def link_mentions(
     mentions: DataFrame,
     indexes: dict[str, TermIndex],
@@ -327,6 +374,17 @@ def link_mentions(
     before the k-distinct scan (the reference's rerank variant keeps all
     candidates, `crossencoder_ranker.py:162-180`)."""
     cands = knn_candidates(mentions, indexes, embedder=embedder)
+    if reranker is None:
+        # Round-6 optimization (guide §2.4): the retrieval-order path
+        # needs no windows at all — ONE exchange (groupBy mention, with
+        # map-side partial collect) and the k-distinct scan runs as an
+        # in-array fold over each mention's (<= max_n_texts) candidate
+        # structs. Result-identical to k_distinct_codes + the ordered
+        # groupBy (ranks are unique per mention, so "first k distinct
+        # codes by rank" is a total order — parity-tested); the window
+        # form below stays for the reranker paths, whose rerank scores
+        # ride a different column contract.
+        return _k_distinct_fold(cands, k)
     if reranker == "crossencoder":
         from .rerank import crossencoder_rerank
 

@@ -197,6 +197,42 @@ def _rank_base(e: DataFrame):
     return nodes, n, base
 
 
+# node-count ceiling under which the per-iteration (node, rank/deg)
+# vector MAY be broadcast instead of shuffle-joined against the edge
+# set — ~24 bytes/row keeps 2M nodes well under typical executor
+# headroom; override via NLDS_PAGERANK_BROADCAST_NODES for cluster
+# memory budgets
+_BROADCAST_NODES_DEFAULT = 2_000_000
+# ...but broadcast only pays when the edge side is much larger than the
+# rank vector: each broadcast is a blocking driver round-trip per
+# iteration, measured ~25% SLOWER than the shuffle join on a sparse
+# ~2-edges-per-node graph at bench scale, while on a dense graph the
+# avoided per-iteration edge exchange dominates. The decision is
+# data-derived (node count + average degree), not tuned to a core count.
+_BROADCAST_MIN_DEGREE_DEFAULT = 16
+
+
+def _broadcast_nodes_limit() -> int:
+    import os
+
+    return int(
+        os.environ.get(
+            "NLDS_PAGERANK_BROADCAST_NODES", _BROADCAST_NODES_DEFAULT
+        )
+    )
+
+
+def _broadcast_min_degree() -> float:
+    import os
+
+    return float(
+        os.environ.get(
+            "NLDS_PAGERANK_BROADCAST_MIN_DEGREE",
+            _BROADCAST_MIN_DEGREE_DEFAULT,
+        )
+    )
+
+
 def _power_iterate(
     e: DataFrame,
     base: DataFrame,
@@ -209,8 +245,27 @@ def _power_iterate(
     """The power-iteration loop shared by cold-start :func:`pagerank`
     and warm-start :func:`incremental_pagerank`. ``ranks`` must carry
     (node, deg, rank) with the vector summing to 1. Returns the final
-    rank table and the number of iterations actually run."""
+    rank table and the number of iterations actually run.
+
+    When the node count (known exactly — ``n``) fits the broadcast
+    ceiling AND the graph is dense enough that the per-iteration edge
+    exchange dominates (average degree >= the configured floor), the
+    (node, rate) vector and the contribution table are broadcast-joined
+    (round-6; guide §3.1): checkpointed RDDs carry no Catalyst stats,
+    so without the hint every iteration pays a sort-merge exchange of
+    BOTH join sides — three exchanges per round drop to one (the
+    map-side-combined contribution aggregate). On sparse graphs the
+    blocking per-iteration broadcast round-trips cost more than the
+    tiny shuffles they replace (measured), so the shuffle join stays
+    the default there; both thresholds are data-derived, not tuned to
+    any core count."""
     iters = 0
+    bcast = False
+    if n <= _broadcast_nodes_limit():
+        # one cheap count over the materialized edge set decides the
+        # join strategy for every iteration
+        bcast = e.count() >= _broadcast_min_degree() * n
+    hint = F.broadcast if bcast else (lambda df: df)
     for _ in range(max_iter):
         iters += 1
         dangling = (
@@ -220,9 +275,11 @@ def _power_iterate(
         )
         contribs = (
             e.join(
-                ranks.select(
-                    F.col("node").alias("src"),
-                    (F.col("rank") / F.col("deg")).alias("rate"),
+                hint(
+                    ranks.select(
+                        F.col("node").alias("src"),
+                        (F.col("rank") / F.col("deg")).alias("rate"),
+                    )
                 ),
                 "src",
             )
@@ -231,7 +288,9 @@ def _power_iterate(
         )
         new_ranks = (
             base.join(
-                contribs.withColumnRenamed("dst", "node"), "node", "left"
+                hint(contribs.withColumnRenamed("dst", "node")),
+                "node",
+                "left",
             )
             .withColumn(
                 "rank",

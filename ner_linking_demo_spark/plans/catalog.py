@@ -73,6 +73,12 @@ class CheckpointCatalog:
         self.ns = namespace
         self.fs = catalog_fs(spark, self.base)
         self.fs.mkdirs(self.base)
+        # concurrent stage writes (run_pipeline parallelizes independent
+        # snapshots) serialize their lineage appends: the HadoopFS
+        # backend's numbered-file append would race on the next number
+        import threading
+
+        self._lineage_lock = threading.Lock()
 
     # -- snapshot plumbing (parquet backend) --------------------------------
     def _tdir(self, table: str) -> str:
@@ -216,7 +222,8 @@ class CheckpointCatalog:
         return out
 
     def _log_lineage(self, row: dict) -> None:
-        self.fs.append_line(f"{self.base}/_lineage", json.dumps(row))
+        with self._lineage_lock:
+            self.fs.append_line(f"{self.base}/_lineage", json.dumps(row))
 
     def lineage(self) -> list[dict]:
         return [

@@ -59,18 +59,22 @@ def annotate_docs(
     the min_tokens gate, sequence packing, mixing budgets — follows
     automatically."""
     t = F.col(text_col)
-    n_tokens = (
-        token_counter.column()(t)
-        if token_counter is not None
-        else TA.token_count(t)
+    # shared-intermediate projection (round-6): token split + one fused
+    # stopword pass feed all derived columns — see
+    # TA.add_profile_columns (value-identical to the standalone forms)
+    out = TA.add_profile_columns(
+        docs,
+        text_col=text_col,
+        lang="lang_pred",
+        quality="quality",
+        n_tokens=None if token_counter is not None else "n_tokens",
+        fingerprint="fingerprint",
     )
-    return docs.withColumns(
-        {
-            "lang_pred": TA.lang_id(t),
-            "quality": TA.quality_score(t),
-            "n_tokens": n_tokens,
-            "fingerprint": TA.content_fingerprint(t),
-        }
+    if token_counter is not None:
+        out = out.withColumn("n_tokens", token_counter.column()(t))
+    # column order parity with the pre-round-6 withColumns form
+    return out.select(
+        *docs.columns, "lang_pred", "quality", "n_tokens", "fingerprint"
     )
 
 
@@ -106,7 +110,7 @@ def run_corpus_pipeline(
     checkpoint_dir: str | None = None,
     input_sig: str | None = None,
     collect_stats: bool = False,
-    persist_intermediate: bool = False,
+    persist_intermediate: bool = True,
 ) -> CorpusResult:
     """docs -> deduplicated, filtered corpus. ``kept`` carries the
     annotation columns plus ``content_hash``/``dup_count`` from exact
@@ -353,13 +357,16 @@ def run_corpus_pipeline(
     if collect_stats:
         stats["after_exact"] = exact.count()
 
-    # with near_dup on, `exact` feeds TWO consumers (pair mining and the
-    # final anti-join); without a materialization Spark recomputes the
-    # scan + dedup window once per consumer. Checkpointed runs get the
+    # with near_dup on, `exact` feeds THREE consumers (signature mining,
+    # the pair-member shingle verify, and the final anti-join); without
+    # a materialization Spark recomputes the scan + annotate + dedup
+    # window once per consumer. Checkpointed runs get the
     # materialization from the corpus_exact snapshot; the pure-lineage
-    # path can opt in here — at 100 TB, one local-disk write of the
-    # deduped corpus beats a second full scan + window, while at bench
-    # scale the recompute is cheaper (hence opt-in, not default).
+    # path localCheckpoints by DEFAULT since round 6 — one local-disk
+    # write of the deduped corpus beats two extra full scans at every
+    # scale measured (sf1.0: 10.2s -> 7.4s), and at 100 TB the gap only
+    # widens. ``persist_intermediate=False`` keeps the fully-lazy plan
+    # (plan audits; single-consumer compositions).
     if near_dup and persist_intermediate and not cat:
         exact = exact.localCheckpoint(eager=True)
 

@@ -274,13 +274,16 @@ def w3_k_distinct_scan(spark, sf_dir):
     (faisslm.py:219-248) over harness data: per order, the first 2
     distinct suppliers in line-number order."""
     li = _t(spark, sf_dir, "lineitem")
-    w_fr = Window.partitionBy("l_orderkey", "l_suppkey")
     w_dr = Window.partitionBy("l_orderkey").orderBy("first_rank")
+    # round-6: the first-rank window + dropDuplicates is a plain
+    # groupBy-min — map-side partial aggregation collapses the lineitem
+    # rows BEFORE the first exchange (guide §2.3 "aggregate before you
+    # shuffle") where the window form shuffled and sorted every row.
+    # Values identical (same min, same distinct (order, supp) set).
     return (
         li.select("l_orderkey", "l_suppkey", "l_linenumber")
-        .withColumn("first_rank", F.min("l_linenumber").over(w_fr))
-        .select("l_orderkey", "l_suppkey", "first_rank")
-        .dropDuplicates()
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(F.min("l_linenumber").alias("first_rank"))
         .withColumn("code_rank", F.dense_rank().over(w_dr))
         .filter("code_rank <= 2")
         .select("l_orderkey", "l_suppkey", "code_rank")
@@ -2047,16 +2050,28 @@ def text_analysis(spark, sf_dir):
     with the identical double arithmetic and weighting. One scan, zero
     shuffles: all columns are pure Catalyst expressions."""
     d = _t(spark, sf_dir, "documents")
-    return d.select(
+    # shared-intermediate projection (round-6): one token split + one
+    # fused stopword pass feed n_tokens/lang_pred/quality —
+    # value-identical to the standalone TA column functions (the oracle
+    # is unchanged); see TA.add_profile_columns.
+    prof = TA.add_profile_columns(
+        d,
+        n_tokens="n_tokens",
+        bpe_tokens="n_bpe_tokens",
+        lang="lang_pred",
+        quality="_q",
+        fingerprint="fp",
+    )
+    return prof.select(
         "doc_id",
-        TA.token_count(F.col("text")).alias("n_tokens"),
-        TA.bpe_ish_token_count(F.col("text")).alias("n_bpe_tokens"),
-        TA.lang_id(F.col("text")).alias("lang_pred"),
-        TA.content_fingerprint(F.col("text")).alias("fp"),
+        "n_tokens",
+        "n_bpe_tokens",
+        "lang_pred",
+        "fp",
         F.element_at(
             TA.rolling_fingerprints(F.col("text"), window=16, every=10**9), 1
         ).alias("fp_head"),
-        F.round(TA.quality_score(F.col("text")), 6).alias("quality"),
+        F.round(F.col("_q"), 6).alias("quality"),
     )
 
 

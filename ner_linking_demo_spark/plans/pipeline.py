@@ -198,23 +198,42 @@ def run_pipeline(
 
     entities_df, code2entity = build_entities_local(spark, gazetteer_pdf)
     if cat:
-        entities_df = cat.stage(
-            "entities", _sig(gaz_sig), lambda: entities_df
-        )
-        code2entity = cat.stage(
-            "code2entity", _sig(gaz_sig), lambda: code2entity
-        )
+        # Independent snapshots run CONCURRENTLY (guide §2.6: actions
+        # are only sequential because driver code calls them
+        # sequentially): entities/code2entity depend only on the
+        # gazetteer, and triples/edges both derive from the already-
+        # published linked snapshot — each pair shares no data
+        # dependency, so one pair member's write back-fills executors
+        # left idle by the other's commit tail. Resume semantics are
+        # untouched (same tables, same signatures; a kill mid-pair
+        # leaves at most two recomputable stages instead of one).
+        from concurrent.futures import ThreadPoolExecutor
 
-    triples, edges = build_triples(linked, code2entity)
-    if cat:
-        # reranker is part of the signature: triples/edges derive from the
-        # 'linked' stage, so their snapshots must invalidate with it.
-        triples = cat.stage(
-            "triples", _sig(input_sig, gaz_sig, k, reranker, emb_sig), lambda: triples
-        )
-        edges = cat.stage(
-            "edges", _sig(input_sig, gaz_sig, k, reranker, emb_sig), lambda: edges
-        )
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_ent = pool.submit(
+                cat.stage, "entities", _sig(gaz_sig), lambda: entities_df
+            )
+            f_c2e = pool.submit(
+                cat.stage,
+                "code2entity",
+                _sig(gaz_sig),
+                lambda: code2entity,
+            )
+            entities_df = f_ent.result()
+            code2entity = f_c2e.result()
+        triples, edges = build_triples(linked, code2entity)
+        der_sig = _sig(input_sig, gaz_sig, k, reranker, emb_sig)
+        # reranker is part of the signature: triples/edges derive from
+        # the 'linked' stage, so their snapshots must invalidate with it.
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            f_tri = pool.submit(
+                cat.stage, "triples", der_sig, lambda: triples
+            )
+            f_edg = pool.submit(cat.stage, "edges", der_sig, lambda: edges)
+            triples = f_tri.result()
+            edges = f_edg.result()
+    else:
+        triples, edges = build_triples(linked, code2entity)
 
     return PipelineResult(
         mentions=mentions,

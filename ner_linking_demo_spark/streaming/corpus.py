@@ -56,6 +56,7 @@ def incremental_corpus_pipeline(
     bands: int = 4,
     shingle_size: int = 3,
     est_threshold: float = 0.5,
+    token_counter=None,
     id_col: str = "doc_id",
     text_col: str = "text",
     trigger_once: bool = True,
@@ -120,7 +121,11 @@ def incremental_corpus_pipeline(
             batch_df = remove_duplicate_spans(
                 batch_df, ext, id_col=id_col, text_col=text_col
             )
-        ann = annotate_docs(batch_df, text_col)
+        # token_counter parity with run_corpus_pipeline (round-6 advice
+        # fix): a batch run using a real tokenizer seat and its
+        # streaming replay must count n_tokens identically, or the
+        # min_tokens gate diverges between the two paths
+        ann = annotate_docs(batch_df, text_col, token_counter=token_counter)
         cond = F.lit(True)
         if lang_allow is not None:
             cond = cond & F.col("lang_pred").isin(list(lang_allow))

@@ -351,6 +351,14 @@ def test_sq8_constant_dim_and_null_safety(spark):
     cent = train_centroids(vecs, k_lists=2, sample_limit=10)
     vmin, step = train_sq8_bounds(vecs)
     assert step[0] == 1.0  # constant-dim guard, not a 0-div
+    # the NaN-poisoned vector (id 4) must not train the bounds: one NaN
+    # in the sample made that dim's vmin/vmax NaN, every code clamped
+    # to 255 and the whole index decoded to NaN (round-6 advice fix)
+    import numpy as _np
+
+    assert _np.isfinite(vmin).all() and _np.isfinite(step).all()
+    # dim 1 bounds come from the finite vectors only (-3.0 .. 5.0)
+    assert vmin[1] == -3.0 and step[1] == (5.0 - -3.0) / 255.0
     idx = ivf_index_sq8(vecs, cent, vmin, step)
     got = {r["vec_id"]: r["codes"] for r in idx.collect()}
     assert 3 not in got  # NULL excluded at the boundary

@@ -443,3 +443,30 @@ def test_entity_pagerank_prev_ranks_path(spark):
     )
     for u in want:
         assert warm[u] == pytest.approx(want[u], abs=1e-6), u
+
+
+def test_broadcast_iteration_path_matches_shuffle_path(spark, monkeypatch):
+    """Round-6: dense graphs take the broadcast-join iteration (the
+    rank vector and contribution table are hinted); results must match
+    the shuffle-join path at float tolerance and the numpy oracle."""
+    import itertools
+
+    from ner_linking_demo_spark.operators.pagerank import pagerank
+
+    # dense: 20 nodes, every ordered pair -> avg degree 19
+    edges = [
+        (f"n{a}", f"n{b}")
+        for a, b in itertools.product(range(20), range(20))
+        if a != b
+    ]
+    e = spark.createDataFrame(edges, "src string, dst string")
+    monkeypatch.setenv("NLDS_PAGERANK_BROADCAST_MIN_DEGREE", "4")
+    bc = {r["node"]: r["rank"] for r in pagerank(e, max_iter=6).collect()}
+    monkeypatch.setenv("NLDS_PAGERANK_BROADCAST_NODES", "0")
+    sh = {r["node"]: r["rank"] for r in pagerank(e, max_iter=6).collect()}
+    assert set(bc) == set(sh)
+    for node, r in sh.items():
+        assert bc[node] == pytest.approx(r, abs=1e-12), node
+    want = _numpy_pagerank(edges, iters=6)
+    for node in want:
+        assert bc[node] == pytest.approx(want[node], abs=1e-9), node

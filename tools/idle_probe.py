@@ -58,26 +58,54 @@ def burn_rate(samples: int = 2) -> float:
     return max(_burn_once() for _ in range(samples))
 
 
-def _load_best() -> float:
+def _host_key() -> str:
+    """Stable identifier for the machine the ratchet belongs to. The
+    calibration file is committed, so without host keying a slower box
+    inherits THIS box's best-ever rate, can never clear the threshold,
+    and burns the full probe wait on every bench (round-6 advice fix)."""
+    import platform
+
+    return f"{platform.node()}/{os.cpu_count()}cpu"
+
+
+def _read_calibration() -> dict:
     try:
         with open(CALIBRATION_PATH) as f:
-            return float(json.load(f)["best_burn_rate"])
-    except (OSError, ValueError, KeyError):
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _load_best() -> float:
+    data = _read_calibration()
+    try:
+        return float(data["hosts"][_host_key()]["best_burn_rate"])
+    except (KeyError, TypeError, ValueError):
+        # no entry for THIS host: seed fresh (first probe sets the bar
+        # at ratio 1.0) instead of inheriting another box's ceiling
         return 0.0
 
 
 def _store_best(rate: float) -> None:
     os.makedirs(os.path.dirname(CALIBRATION_PATH), exist_ok=True)
+    data = _read_calibration()
+    hosts = data.get("hosts")
+    if not isinstance(hosts, dict):
+        hosts = {}
+    hosts[_host_key()] = {
+        "best_burn_rate": round(rate, 1),
+        "burn_iters": _BURN_ITERS,
+    }
     tmp = CALIBRATION_PATH + ".tmp"
     with open(tmp, "w") as f:
         json.dump(
             {
-                "best_burn_rate": round(rate, 1),
-                "burn_iters": _BURN_ITERS,
+                "hosts": hosts,
                 "note": (
                     "monotonic best-ever single-process python burn rate "
-                    "on this box; idle_probe ratchets it upward in quiet "
-                    "windows and rates current windows against it"
+                    "PER HOST; idle_probe ratchets each host's bar upward "
+                    "in quiet windows and rates current windows against "
+                    "that host's own bar"
                 ),
             },
             f,
