@@ -57,8 +57,21 @@ class DictionaryMatcher:
             self.first_tokens[label] = {k[0] for k in keys}
 
     def find_mentions(self, text: str) -> list[Mention]:
+        from .tokenization import _ascii_fast_eligible
+
         words = words_with_offsets(text)
-        lowered = [w.casefold() for w, _, _ in words]
+        if _ascii_fast_eligible(text):
+            # ASCII: casefold == lower and lower() is length-preserving,
+            # so one C-level lower of the whole text + offset slicing
+            # replaces a per-word casefold call (round-6; identical
+            # lowered tokens by construction). A compiled-alternation
+            # regex scan was also tried here and measured SLOWER than
+            # this first-token-gated loop (python re tries every
+            # alternative per position) — see OPTIMIZATION_r06.md.
+            lt = text.lower()
+            lowered = [lt[s:e] for _, s, e in words]
+        else:
+            lowered = [w.casefold() for w, _, _ in words]
         out: list[Mention] = []
         for label in sorted(self.tries):
             table = self.tries[label]

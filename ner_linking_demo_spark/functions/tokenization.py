@@ -91,6 +91,25 @@ def _classify(ch: str) -> int:
 _LATIN1_CLASS = [_classify(chr(cp)) for cp in range(256)]
 _CLASS_CACHE: dict[str, int] = {}
 
+# ASCII fast path (round-6): for ASCII text with no DROP-class bytes
+# (NUL / control chars other than \t\n\r never appear in curated
+# corpora),
+# the per-character classification collapses to "alnum runs are words,
+# every other non-space printable is a one-char punct token" — exactly
+# one C-level regex scan instead of a per-character python loop.
+# Bit-identical to the slow path on eligible text (property-fuzzed in
+# tests/test_tokenization_hypothesis.py, which generates both ASCII and
+# non-ASCII inputs); anything non-ASCII or carrying control bytes takes
+# the original loop.
+import re as _re
+
+_ASCII_TOKEN_RE = _re.compile(r"[0-9A-Za-z]+|[^\s0-9A-Za-z]")
+_ASCII_UNSAFE_RE = _re.compile(r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]")
+
+
+def _ascii_fast_eligible(text: str) -> bool:
+    return text.isascii() and _ASCII_UNSAFE_RE.search(text) is None
+
 
 def uncase(text: str) -> str:
     """NFD-normalize, strip combining marks, lowercase (reference
@@ -114,6 +133,17 @@ def words_with_offsets(
     """
     if not cased:
         text = uncase(text)
+
+    if _ascii_fast_eligible(text):
+        if start_i == 0:
+            return [
+                (m.group(), m.start(), m.end())
+                for m in _ASCII_TOKEN_RE.finditer(text)
+            ]
+        return [
+            (m.group(), m.start() + start_i, m.end() + start_i)
+            for m in _ASCII_TOKEN_RE.finditer(text)
+        ]
 
     out: list[tuple[str, int, int]] = []
     buf: list[str] = []

@@ -370,20 +370,35 @@ def simhash64(text: Column, prefix_bits: int = 32) -> Column:
             "long"
         ),
     )
-    def bit_sum(b: int) -> Column:
-        return F.aggregate(
-            hashes,
-            F.lit(0).cast("long"),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(1 << b)) != 0, 1).otherwise(-1),
-        )
-
-    out = F.lit(0).cast("long")
-    for b in range(prefix_bits):
-        out = out + F.when(bit_sum(b) > 0, F.lit(1 << b).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-    return out
+    # ONE fold over the token hashes accumulating all bit counters at
+    # once (round-6): the per-bit formulation re-evaluated the whole
+    # md5 transform ``prefix_bits`` times — non-lambda subexpressions
+    # inside HOF lambdas are never shared — i.e. 32 md5 passes per
+    # document. Values are integer-exact identical (same per-bit +1/-1
+    # counts, order-insensitive integer sums; parity-tested against
+    # simhash_signatures_df).
+    bit_vals = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(prefix_bits)]
+    )
+    sums = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("long"), prefix_bits),
+        lambda acc, h: F.zip_with(
+            acc,
+            bit_vals,
+            lambda a, bv: a
+            + F.when(h.bitwiseAND(bv) != 0, 1).otherwise(-1),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(
+            sums,
+            bit_vals,
+            lambda s, bv: F.when(s > 0, bv).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
 
 
 def simhash_signatures_df(

@@ -115,8 +115,18 @@ def knn_candidates(
                 index = idxs.get(str(label))
                 if index is None or sub.empty:
                     continue
-                queries = l2_normalize(emb.encode(list(sub["span"])))
-                scores, ids = index.search(queries)  # [m, top_n]
+                # search each DISTINCT span once (round-6): mention
+                # surface forms repeat massively (a gazetteer-sized
+                # vocabulary across a corpus-sized mention table), and
+                # embed+search is a pure function of the span — the
+                # per-mention results are identical by construction.
+                uniq, inv = np.unique(
+                    sub["span"].to_numpy(dtype=object), return_inverse=True
+                )
+                queries = l2_normalize(emb.encode(list(uniq)))
+                u_scores, u_ids = index.search(queries)  # [u, top_n]
+                scores = u_scores[inv]
+                ids = u_ids[inv]
                 m, top_n = scores.shape
                 rep = sub.loc[sub.index.repeat(top_n)].reset_index(drop=True)
                 flat_ids = ids.reshape(-1)
@@ -226,6 +236,34 @@ def link_mentions_fused(
     return mentions.mapInPandas(run, schema=LINKED_SCHEMA)
 
 
+def _link_spans(
+    spans, index: TermIndex, emb: HashEmbedder, kk: int
+) -> tuple[list, list]:
+    """Per-row (codes, scores) lists for ``spans``: embed + exact-IP
+    search + first-k-distinct-codes scan, computed once per DISTINCT
+    span (round-6 — the whole per-span result is a pure function of the
+    span, and surface forms repeat massively across a corpus)."""
+    uniq, inv = np.unique(
+        np.asarray(spans, dtype=object), return_inverse=True
+    )
+    queries = l2_normalize(emb.encode(list(uniq)))
+    scores, ids = index.search(queries)
+    codes_arr = np.asarray(index.codes, dtype=object)
+    u_codes, u_scores = [], []
+    for r in range(scores.shape[0]):
+        row_codes = codes_arr[ids[r]]
+        seen: dict[str, float] = {}
+        for j in range(len(row_codes)):
+            c = row_codes[j]
+            if c not in seen:
+                seen[c] = float(scores[r, j])
+                if len(seen) >= kk:
+                    break
+        u_codes.append(list(seen.keys()))
+        u_scores.append(np.array(list(seen.values()), dtype=np.float32))
+    return [u_codes[i] for i in inv], [u_scores[i] for i in inv]
+
+
 def _fused_link_batch(
     pdf: pd.DataFrame, idxs: dict[str, TermIndex], emb: HashEmbedder, kk: int
 ) -> list[pd.DataFrame]:
@@ -234,21 +272,9 @@ def _fused_link_batch(
         index = idxs.get(str(label))
         if index is None or sub.empty:
             continue
-        queries = l2_normalize(emb.encode(list(sub["span"])))
-        scores, ids = index.search(queries)
-        codes_arr = np.asarray(index.codes, dtype=object)
-        codes_col, scores_col = [], []
-        for r in range(scores.shape[0]):
-            row_codes = codes_arr[ids[r]]
-            seen: dict[str, float] = {}
-            for j in range(len(row_codes)):
-                c = row_codes[j]
-                if c not in seen:
-                    seen[c] = float(scores[r, j])
-                    if len(seen) >= kk:
-                        break
-            codes_col.append(list(seen.keys()))
-            scores_col.append(np.array(list(seen.values()), dtype=np.float32))
+        codes_col, scores_col = _link_spans(
+            sub["span"].to_numpy(dtype=object), index, emb, kk
+        )
         out = sub[["url", "start", "end", "label", "span"]].copy()
         out["codes"] = codes_col
         out["scores"] = scores_col
@@ -288,14 +314,43 @@ def detect_and_link(
         tbl, idxs, emb, kk = bc.value
         matcher = DictionaryMatcher(tbl)
         for pdf in batches:
-            rows: list[tuple] = []
+            # accumulate per-label COLUMNS directly (round-6): the
+            # intermediate list-of-tuples DataFrame + pandas groupby +
+            # per-group copy() cost more than the model work for a
+            # dimension-sized vocabulary; mention order within the
+            # batch is not part of the contract (downstream consumers
+            # aggregate or explode)
+            per: dict[str, tuple[list, list, list, list]] = {}
             for url, text in zip(pdf[url_col], pdf[text_col]):
                 for label, start, end, span in matcher.find_mentions(text):
-                    rows.append((url, label.upper(), start, end, span))
-            mpdf = pd.DataFrame(
-                rows, columns=["url", "label", "start", "end", "span"]
-            )
-            outs = _fused_link_batch(mpdf, idxs, emb, kk)
+                    lab = label.upper()
+                    cols = per.get(lab)
+                    if cols is None:
+                        cols = per[lab] = ([], [], [], [])
+                    cols[0].append(url)
+                    cols[1].append(start)
+                    cols[2].append(end)
+                    cols[3].append(span)
+            outs = []
+            for lab in sorted(per):
+                index = idxs.get(lab)
+                if index is None:
+                    continue
+                urls, starts, ends, spans = per[lab]
+                codes_col, scores_col = _link_spans(spans, index, emb, kk)
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "url": urls,
+                            "start": starts,
+                            "end": ends,
+                            "label": lab,
+                            "span": spans,
+                            "codes": codes_col,
+                            "scores": scores_col,
+                        }
+                    )
+                )
             yield (
                 pd.concat(outs)
                 if outs

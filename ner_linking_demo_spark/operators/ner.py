@@ -186,12 +186,29 @@ def detect_mentions(
         kind, payload = bc.value  # once per python worker
         matcher = DictionaryMatcher(payload) if kind == "dict" else payload
         for pdf in batches:
-            rows: list[tuple] = []
+            # column-wise accumulation (round-6): constructing the
+            # batch output from five flat lists is measurably cheaper
+            # than a list-of-tuples DataFrame at mention volume
+            urls: list = []
+            labels: list = []
+            starts: list = []
+            ends: list = []
+            spans: list = []
             for url, text in zip(pdf[url_col], pdf[text_col]):
                 for label, start, end, span in matcher.find_mentions(text):
-                    rows.append((url, label.upper(), start, end, span))
+                    urls.append(url)
+                    labels.append(label.upper())
+                    starts.append(start)
+                    ends.append(end)
+                    spans.append(span)
             yield pd.DataFrame(
-                rows, columns=["url", "label", "start", "end", "span"]
+                {
+                    "url": urls,
+                    "label": labels,
+                    "start": starts,
+                    "end": ends,
+                    "span": spans,
+                }
             )
 
     projected = pages.select(
