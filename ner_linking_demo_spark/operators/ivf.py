@@ -69,19 +69,24 @@ def train_centroids(
     on a bounded sample — the one step of IVF that does not need the
     cluster, exactly like the reference FAISS workflow trains on a
     subsample."""
-    rows = (
+    # Arrow transfer (toPandas), not row collect(): the pickled-row
+    # path deserializes sample_limit x dim floats one object at a time
+    # and measured ~1.5s of pure driver overhead per training call at
+    # bench scale (round-6; guide §6 "Arrow for driver transfers").
+    # Same rows, same order, same float values.
+    pdf = (
         df.where(F.col(emb_col).isNotNull())
         .select(F.col(id_col).alias("id"), F.col(emb_col).alias("v"))
         .orderBy("id")
         .limit(sample_limit)
-        .collect()
+        .toPandas()
     )
-    if len(rows) < k_lists:
+    if len(pdf) < k_lists:
         raise ValueError(
-            f"sample has {len(rows)} vectors, fewer than k_lists="
+            f"sample has {len(pdf)} vectors, fewer than k_lists="
             f"{k_lists} — lower k_lists or raise sample_limit"
         )
-    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
     rng = np.random.default_rng(seed)
     # k-means++ seeding (Arthur & Vassilvitskii '07): spreads the initial
     # centroids across the data's clusters, so lists rarely start (or
@@ -224,12 +229,13 @@ def train_sq8_bounds(
     same way; out-of-range values clamp at encode time). Constant
     dimensions get step 1.0 so encode/decode stays exact (code 0 ->
     vmin) instead of dividing by zero."""
-    rows = (
+    pdf = (
         # NaN-poisoned vectors must not train the bounds: one NaN in the
         # sample makes that dimension's vmin/vmax NaN, every encode
         # clamps to code 255 (least(NaN, 255.0) = 255.0) and the whole
         # index decodes to NaN — the same boundary rule ivf_index_sq8
-        # applies to the index side (round-6 advice fix).
+        # applies to the index side (round-6 advice fix). Arrow
+        # transfer, not row collect() — see train_centroids.
         df.where(
             F.col(emb_col).isNotNull()
             & ~F.exists(F.col(emb_col), F.isnan)
@@ -237,11 +243,11 @@ def train_sq8_bounds(
         .select(F.col(id_col).alias("id"), F.col(emb_col).alias("v"))
         .orderBy("id")
         .limit(sample_limit)
-        .collect()
+        .toPandas()
     )
-    if not rows:
+    if len(pdf) == 0:
         raise ValueError("cannot train SQ8 bounds on an empty sample")
-    x = np.asarray([r["v"] for r in rows], dtype=np.float64)
+    x = np.stack(pdf["v"].to_numpy()).astype(np.float64)
     vmin = x.min(axis=0)
     vmax = x.max(axis=0)
     step = np.where(vmax > vmin, (vmax - vmin) / 255.0, 1.0)

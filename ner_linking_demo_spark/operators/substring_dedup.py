@@ -311,6 +311,21 @@ def remove_duplicate_spans(
     One exchange: extents aggregate per victim id (dup-pair-scale, not
     corpus-scale), then join the docs scan; non-victim docs pass
     through untouched via the left join.
+
+    KNOWN INTERACTION (round-6 advice, documented by design): the
+    splice re-joins the victim's surviving tokens SINGLE-SPACED — the
+    engine's document normal form — which collapses newlines. A spliced
+    victim therefore reads as one line to any later line-grain signal:
+    in ``run_corpus_pipeline`` the Gopher repetition gate runs after
+    substring dedup, so ``dup_line_frac``/``dup_line_char_frac`` are
+    trivially ~0 for exactly the partially-duplicated docs. This is
+    accepted rather than fixed because (a) every other token-grain
+    signal (top/dup n-gram fractions — the signals that actually catch
+    the residual repetition a splice leaves) is whitespace-insensitive,
+    and (b) a structure-preserving splice would break the
+    token-offset contract the extents are expressed in. Pipelines that
+    depend on line-duplication gating should order ``line_dedup``
+    BEFORE ``substring_dedup`` (run_corpus_pipeline already does).
     """
     victim_spans = (
         extents.select(
