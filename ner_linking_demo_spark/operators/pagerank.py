@@ -261,7 +261,15 @@ def _power_iterate(
     any core count."""
     iters = 0
     bcast = False
-    if n <= _broadcast_nodes_limit():
+    # below the small-graph floor the shuffle joins are trivially cheap
+    # and even the one-off edge-count probe is measurable overhead —
+    # skip the decision entirely (the measured-fastest r5 plan)
+    small_floor = int(
+        __import__("os").environ.get(
+            "NLDS_PAGERANK_SMALL_GRAPH_NODES", 100_000
+        )
+    )
+    if small_floor < n <= _broadcast_nodes_limit():
         # one cheap count over the materialized edge set decides the
         # join strategy for every iteration
         bcast = e.count() >= _broadcast_min_degree() * n

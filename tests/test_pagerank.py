@@ -460,6 +460,7 @@ def test_broadcast_iteration_path_matches_shuffle_path(spark, monkeypatch):
         if a != b
     ]
     e = spark.createDataFrame(edges, "src string, dst string")
+    monkeypatch.setenv("NLDS_PAGERANK_SMALL_GRAPH_NODES", "0")
     monkeypatch.setenv("NLDS_PAGERANK_BROADCAST_MIN_DEGREE", "4")
     bc = {r["node"]: r["rank"] for r in pagerank(e, max_iter=6).collect()}
     monkeypatch.setenv("NLDS_PAGERANK_BROADCAST_NODES", "0")
