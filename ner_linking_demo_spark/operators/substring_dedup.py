@@ -49,9 +49,15 @@ overlap — they under-cover, never over-cover), at 1/p the shuffle
 volume. Exact mode is the oracle-checked default; sampled mode is the
 documented scale knob.
 
-Everything is deterministic, engine-independent SQL (md5 is the house
-cross-engine hash) — the driver entry `dedup_exact_substring` checks
-the whole chain against a declarative DuckDB oracle.
+Everything is deterministic, engine-independent SQL. Exact mode keys
+grams by ``xxhash64`` of the token slice (round-6: 8 bytes, no
+joined-string allocation; ``h`` is only ever an equality key, so the
+reported extents are identical to the md5 form) while sampled mode
+keeps md5 of the space-joined gram — the content-defined selection
+contract is defined on that digest. The driver entry
+`dedup_exact_substring` checks the whole chain against a declarative
+DuckDB oracle that re-derives the extents from the text (the oracle's
+own gram key stays md5; extents are hash-agnostic).
 """
 
 from __future__ import annotations
