@@ -30,7 +30,7 @@ per-document granularity.
 
 from __future__ import annotations
 
-from .tokenization import words_with_offsets
+from .tokenization import _ascii_fast_eligible, words_with_offsets
 
 Mention = tuple[str, int, int, str]  # (label, start, end, span)
 
@@ -57,8 +57,6 @@ class DictionaryMatcher:
             self.first_tokens[label] = {k[0] for k in keys}
 
     def find_mentions(self, text: str) -> list[Mention]:
-        from .tokenization import _ascii_fast_eligible
-
         words = words_with_offsets(text)
         if _ascii_fast_eligible(text):
             # ASCII: casefold == lower and lower() is length-preserving,

@@ -75,7 +75,17 @@ def train_centroids(
     # bench scale (round-6; guide §6 "Arrow for driver transfers").
     # Same rows, same order, same float values.
     pdf = (
-        df.where(F.col(emb_col).isNotNull())
+        # NaN/NULL-element vectors must not train the quantizer: one
+        # NaN row makes its centroid NaN, and a NaN centroid column
+        # wins argmax for EVERY row on the next Lloyd's iteration —
+        # the whole corpus collapses into one list (round-6 review;
+        # same poison rule as train_sq8_bounds / ivf_index_sq8).
+        df.where(
+            F.col(emb_col).isNotNull()
+            & ~F.exists(
+                F.col(emb_col), lambda x: F.isnan(x) | x.isNull()
+            )
+        )
         .select(F.col(id_col).alias("id"), F.col(emb_col).alias("v"))
         .orderBy("id")
         .limit(sample_limit)
@@ -234,11 +244,16 @@ def train_sq8_bounds(
         # sample makes that dimension's vmin/vmax NaN, every encode
         # clamps to code 255 (least(NaN, 255.0) = 255.0) and the whole
         # index decodes to NaN — the same boundary rule ivf_index_sq8
-        # applies to the index side (round-6 advice fix). Arrow
+        # applies to the index side (round-6 advice fix). NULL elements
+        # count as poison too: isnan(NULL) is false but the Arrow
+        # transfer turns a NULL element into NaN in the float sample,
+        # re-poisoning the bounds through the side door. Arrow
         # transfer, not row collect() — see train_centroids.
         df.where(
             F.col(emb_col).isNotNull()
-            & ~F.exists(F.col(emb_col), F.isnan)
+            & ~F.exists(
+                F.col(emb_col), lambda x: F.isnan(x) | x.isNull()
+            )
         )
         .select(F.col(id_col).alias("id"), F.col(emb_col).alias("v"))
         .orderBy("id")
@@ -313,8 +328,11 @@ def ivf_index_sq8(
     # value. Exclude poisoned vectors at the boundary — the flat form
     # keeps them (their cosine is NaN), so the two forms differ on
     # NaN-poisoned corpora by design; this is the searchable-subset
-    # rule NULL embeddings already follow.
-    flat = flat.where(~F.exists(F.col("iv"), F.isnan))
+    # rule NULL embeddings already follow. NULL elements are poison by
+    # the same rule (isnan(NULL) is false — round-6 review).
+    flat = flat.where(
+        ~F.exists(F.col("iv"), lambda x: F.isnan(x) | x.isNull())
+    )
     codes = sq8_encode(F.col("iv"), vmin, step)
     return flat.select(
         "vec_id",

@@ -34,8 +34,22 @@ numpy oracle at 1e-6).
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _env_int(name: str, default: int) -> int:
+    """Integer knob from the environment; accepts float spellings like
+    '2e6' and fails with the knob's name on garbage."""
+    raw = os.environ.get(name)
+    if raw is None:
+        return default
+    try:
+        return int(float(raw))
+    except ValueError as ex:
+        raise ValueError(f"{name}={raw!r} is not a number") from ex
 
 
 def _weight_expr(weight_col: str | None):
@@ -213,24 +227,21 @@ _BROADCAST_MIN_DEGREE_DEFAULT = 16
 
 
 def _broadcast_nodes_limit() -> int:
-    import os
-
-    return int(
-        os.environ.get(
-            "NLDS_PAGERANK_BROADCAST_NODES", _BROADCAST_NODES_DEFAULT
-        )
+    return _env_int(
+        "NLDS_PAGERANK_BROADCAST_NODES", _BROADCAST_NODES_DEFAULT
     )
 
 
 def _broadcast_min_degree() -> float:
-    import os
-
-    return float(
-        os.environ.get(
-            "NLDS_PAGERANK_BROADCAST_MIN_DEGREE",
-            _BROADCAST_MIN_DEGREE_DEFAULT,
-        )
-    )
+    raw = os.environ.get("NLDS_PAGERANK_BROADCAST_MIN_DEGREE")
+    if raw is None:
+        return float(_BROADCAST_MIN_DEGREE_DEFAULT)
+    try:
+        return float(raw)
+    except ValueError as ex:
+        raise ValueError(
+            f"NLDS_PAGERANK_BROADCAST_MIN_DEGREE={raw!r} is not a number"
+        ) from ex
 
 
 def _power_iterate(
@@ -264,11 +275,7 @@ def _power_iterate(
     # below the small-graph floor the shuffle joins are trivially cheap
     # and even the one-off edge-count probe is measurable overhead —
     # skip the decision entirely (the measured-fastest r5 plan)
-    small_floor = int(
-        __import__("os").environ.get(
-            "NLDS_PAGERANK_SMALL_GRAPH_NODES", 100_000
-        )
-    )
+    small_floor = _env_int("NLDS_PAGERANK_SMALL_GRAPH_NODES", 100_000)
     if small_floor < n <= _broadcast_nodes_limit():
         # one cheap count over the materialized edge set decides the
         # join strategy for every iteration

@@ -243,25 +243,48 @@ def exact_substring_pairs(
     ).filter(F.col("df") >= 2)
     if max_df is not None:
         occ = occ.filter(F.col("df") <= F.lit(max_df))
-    # anchor pairs per surviving gram, generated in place: collect the
-    # (<= max_df) occurrence structs per gram and explode both sides.
-    # With max_df=None the per-gram list is unbounded — the docstring
-    # already restricts that setting to corpora small enough to afford
-    # the quadratic expansion.
-    lists = occ.groupBy("h").agg(
-        F.collect_list(F.struct("id", "pos")).alias("occs")
-    )
-    anchors = (
-        lists.select(F.col("occs"), F.explode("occs").alias("a"))
-        .select("a", F.explode("occs").alias("b"))
-        .filter(F.col("a.id") < F.col("b.id"))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            (F.col("a.pos") - F.col("b.pos")).alias("diag"),
-            F.col("a.pos").alias("pos_a"),
+        # anchor pairs per surviving gram, generated in place: collect
+        # the (<= max_df, bounded) occurrence structs per gram and
+        # explode both sides — no join, no further exchange.
+        lists = occ.groupBy("h").agg(
+            F.collect_list(F.struct("id", "pos")).alias("occs")
         )
-    )
+        anchors = (
+            lists.select(F.col("occs"), F.explode("occs").alias("a"))
+            .select("a", F.explode("occs").alias("b"))
+            .filter(F.col("a.id") < F.col("b.id"))
+            .select(
+                F.col("a.id").alias("id_a"),
+                F.col("b.id").alias("id_b"),
+                (F.col("a.pos") - F.col("b.pos")).alias("diag"),
+                F.col("a.pos").alias("pos_a"),
+            )
+        )
+    else:
+        # max_df=None (documented small-corpus-only escape hatch): a
+        # gram's occurrence list is unbounded, and buffering it into
+        # one collect_list row would put an O(df) array in a single
+        # aggregation buffer (round-6 review). Stream the quadratic
+        # expansion through an equi-join instead — both sides are the
+        # SAME h-clustered subtree, so the join needs no new exchange;
+        # the subtree computes twice, the price the pre-round-6 form
+        # paid everywhere.
+        a = occ.select(
+            F.col("id").alias("id_a"), "h", F.col("pos").alias("pos_a")
+        )
+        b = occ.select(
+            F.col("id").alias("id_b"), "h", F.col("pos").alias("pos_b")
+        )
+        anchors = (
+            a.join(b, "h")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select(
+                "id_a",
+                "id_b",
+                (F.col("pos_a") - F.col("pos_b")).alias("diag"),
+                "pos_a",
+            )
+        )
 
     w = Window.partitionBy("id_a", "id_b", "diag").orderBy("pos_a")
     flagged = anchors.withColumn(

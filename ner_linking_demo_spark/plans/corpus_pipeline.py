@@ -72,9 +72,14 @@ def annotate_docs(
     )
     if token_counter is not None:
         out = out.withColumn("n_tokens", token_counter.column()(t))
-    # column order parity with the pre-round-6 withColumns form
+    # column order parity with the pre-round-6 withColumns form,
+    # including its replace-IN-PLACE semantics: re-annotating a frame
+    # that already carries one of these columns must overwrite it at
+    # its original position, not emit an ambiguous duplicate
+    ann_cols = ["lang_pred", "quality", "n_tokens", "fingerprint"]
     return out.select(
-        *docs.columns, "lang_pred", "quality", "n_tokens", "fingerprint"
+        *docs.columns,
+        *[c for c in ann_cols if c not in docs.columns],
     )
 
 

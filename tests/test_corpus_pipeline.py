@@ -231,3 +231,20 @@ def test_line_dedup_stage(spark):
     # url metadata survives the join-back; n_tokens is POST-dedup
     assert got[1]["url"] == rows[1][1]
     assert got[1]["n_tokens"] == 4
+
+
+def test_annotate_docs_is_idempotent_on_columns(spark):
+    """Round-6: re-annotating an already-annotated frame must replace
+    the annotation columns in place (the pre-round-6 withColumns
+    semantics), never emit ambiguous duplicates."""
+    from ner_linking_demo_spark.plans.corpus_pipeline import annotate_docs
+
+    docs = spark.createDataFrame(
+        [(1, "the data of the spark join")], "doc_id long, text string"
+    )
+    once = annotate_docs(docs)
+    twice = annotate_docs(once)
+    assert twice.columns == once.columns  # no duplicates, same order
+    r1 = once.collect()[0].asDict()
+    r2 = twice.collect()[0].asDict()
+    assert r1 == r2

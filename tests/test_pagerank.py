@@ -466,8 +466,10 @@ def test_broadcast_iteration_path_matches_shuffle_path(spark, monkeypatch):
     monkeypatch.setenv("NLDS_PAGERANK_BROADCAST_NODES", "0")
     sh = {r["node"]: r["rank"] for r in pagerank(e, max_iter=6).collect()}
     assert set(bc) == set(sh)
+    # float tolerance, not bit-equality: the two plans sum
+    # contributions in different orders (broadcast hash vs sort-merge)
     for node, r in sh.items():
-        assert bc[node] == pytest.approx(r, abs=1e-12), node
+        assert bc[node] == pytest.approx(r, abs=1e-9), node
     want = _numpy_pagerank(edges, iters=6)
     for node in want:
         assert bc[node] == pytest.approx(want[node], abs=1e-9), node

@@ -342,3 +342,33 @@ def test_streaming_substring_parity(spark, tmp_path):
     )
     pd.testing.assert_frame_equal(got, want)
     shutil.rmtree(out, ignore_errors=True)
+
+
+def test_max_df_none_streams_pairs(spark):
+    """Round-6: max_df=None must take the join-based (streaming) anchor
+    expansion and find the same extents as the bounded path when no
+    gram exceeds the ceiling."""
+    from ner_linking_demo_spark.operators.substring_dedup import (
+        exact_substring_pairs,
+    )
+
+    words = [f"w{i}" for i in range(40)]
+    run = " ".join(words)
+    docs = spark.createDataFrame(
+        [(1, run + " uniq1 a b c"), (2, run + " other tail x y"),
+         (3, "completely different text " * 5)],
+        "doc_id long, text string",
+    )
+    bounded = {
+        tuple(r)
+        for r in exact_substring_pairs(
+            docs, min_tokens=16, n_gram=8, max_df=16
+        ).collect()
+    }
+    unbounded = {
+        tuple(r)
+        for r in exact_substring_pairs(
+            docs, min_tokens=16, n_gram=8, max_df=None
+        ).collect()
+    }
+    assert bounded == unbounded and (1, 2, 0, 0, 40) in bounded
