@@ -39,18 +39,22 @@ def token_count(text: Column) -> Column:
 
 def bpe_ish_token_count(text: Column) -> Column:
     """Sub-word-ish token count: alternating letter-runs / digit-runs /
-    single punctuation, the usual pre-BPE segmentation regex."""
-    return F.size(
-        F.regexp_extract_all(
-            text, F.lit(r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]"), F.lit(0)
-        )
+    single punctuation, the usual pre-BPE segmentation regex.
+    ``regexp_count`` is the idiomatic count form; Spark expands it to
+    ``size(regexp_extract_all(...))`` at planning time, so it is value-
+    AND plan-identical to the previous explicit spelling."""
+    return F.regexp_count(
+        text, F.lit(r"[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]")
     )
 
 
 def _stopword_hits(text: Column, stopwords: list[str]) -> Column:
+    # isin over the literal vocabulary optimizes to a hash-set InSet
+    # lookup (O(1) per token) where array_contains scans the 20-element
+    # array per token; membership semantics (plain string equality on a
+    # never-null token) are identical (round-6).
     toks = F.transform(tokens(text), lambda t: F.lower(t))
-    sw = F.array(*[F.lit(w) for w in stopwords])
-    return F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+    return F.size(F.filter(toks, lambda t: t.isin(*stopwords)))
 
 
 def lang_id(text: Column) -> Column:
@@ -138,20 +142,21 @@ def add_profile_columns(
         helpers.append("_pf_toks")
     toks = F.col("_pf_toks")
     if need_sw:
-        es_arr = F.array(*[F.lit(w) for w in ES_STOPWORDS])
-        en_arr = F.array(*[F.lit(w) for w in EN_STOPWORDS])
         zero = F.lit(0)
+        # isin -> hash-set InSet membership per token (see
+        # _stopword_hits); counts are identical to the array_contains
+        # form (plain string equality over the same literal vocabulary)
         sw = F.aggregate(
             F.transform(toks, lambda x: F.lower(x)),
             F.struct(zero.alias("es"), zero.alias("en")),
             lambda acc, x: F.struct(
                 (
                     acc["es"]
-                    + F.when(F.array_contains(es_arr, x), 1).otherwise(0)
+                    + F.when(x.isin(*ES_STOPWORDS), 1).otherwise(0)
                 ).alias("es"),
                 (
                     acc["en"]
-                    + F.when(F.array_contains(en_arr, x), 1).otherwise(0)
+                    + F.when(x.isin(*EN_STOPWORDS), 1).otherwise(0)
                 ).alias("en"),
             ),
         )
