@@ -125,11 +125,28 @@ def run_pipeline(
     )
 
     observations = None
-    gazetteer_df = spark.createDataFrame(
-        gazetteer_pdf[["label", "code", "term", "semantic_tag"]]
-    )
-
     indexes = build_indexes(gazetteer_pdf, k=k, embedder=embedder)
+
+    # entities/code2entity depend ONLY on the gazetteer (dimension-sized,
+    # driver-built) — on checkpointed runs their snapshot writes are
+    # submitted NOW so they overlap the python-heavy mentions/linked
+    # stages (guide §2.6: actions are only sequential because driver
+    # code calls them sequentially); each write is a tiny job that
+    # back-fills executors the Arrow/python phases leave idle. Resume
+    # semantics unchanged: same tables, same signatures — only the
+    # submission order moves.
+    entities_df, code2entity = build_entities_local(spark, gazetteer_pdf)
+    ent_pool = f_ent = f_c2e = None
+    if cat:
+        from concurrent.futures import ThreadPoolExecutor
+
+        ent_pool = ThreadPoolExecutor(max_workers=2)
+        f_ent = ent_pool.submit(
+            cat.stage, "entities", _sig(gaz_sig), lambda: entities_df
+        )
+        f_c2e = ent_pool.submit(
+            cat.stage, "code2entity", _sig(gaz_sig), lambda: code2entity
+        )
 
     if cat and checkpoint_granularity == "coarse":
         # single fused python pass, single snapshot: the resumable mode
@@ -196,31 +213,19 @@ def run_pipeline(
             mentions, indexes, k=k, embedder=embedder, reranker=reranker
         )
 
-    entities_df, code2entity = build_entities_local(spark, gazetteer_pdf)
     if cat:
-        # Independent snapshots run CONCURRENTLY (guide §2.6: actions
-        # are only sequential because driver code calls them
-        # sequentially): entities/code2entity depend only on the
-        # gazetteer, and triples/edges both derive from the already-
-        # published linked snapshot — each pair shares no data
-        # dependency, so one pair member's write back-fills executors
-        # left idle by the other's commit tail. Resume semantics are
-        # untouched (same tables, same signatures; a kill mid-pair
-        # leaves at most two recomputable stages instead of one).
+        # Resolve the entities/code2entity snapshots submitted before
+        # the mentions stage (overlapped with the python-heavy
+        # stages), then run the triples/edges pair concurrently: both
+        # derive from the already-published linked snapshot and share
+        # no data dependency, so one pair member's write back-fills
+        # executors left idle by the other's commit tail (guide §2.6).
+        # A kill mid-pair leaves at most two recomputable stages.
         from concurrent.futures import ThreadPoolExecutor
 
-        with ThreadPoolExecutor(max_workers=2) as pool:
-            f_ent = pool.submit(
-                cat.stage, "entities", _sig(gaz_sig), lambda: entities_df
-            )
-            f_c2e = pool.submit(
-                cat.stage,
-                "code2entity",
-                _sig(gaz_sig),
-                lambda: code2entity,
-            )
-            entities_df = f_ent.result()
-            code2entity = f_c2e.result()
+        entities_df = f_ent.result()
+        code2entity = f_c2e.result()
+        ent_pool.shutdown()
         triples, edges = build_triples(linked, code2entity)
         der_sig = _sig(input_sig, gaz_sig, k, reranker, emb_sig)
         # reranker is part of the signature: triples/edges derive from
