@@ -103,3 +103,48 @@ def test_scrub_is_pure_projection(spark):
     )
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_precheck_guard_is_value_transparent(spark):
+    """The round-6 pre-check guard (cheap char test AND alternation
+    scan gating the replace/count chain) must be invisible in values:
+    scrub_pii == the plain unguarded chain on guard-stressing rows —
+    decimal-heavy text (cheap-guard false positive), '@'/'+' chars
+    outside any real match, real PII, NULL and empty text."""
+    rows = [
+        (0, "totals 1.5 and 2.75 and v10.2.3 but no pii"),  # digit.digit FP
+        (1, "meet @ noon + bring snacks"),  # '@'/'+' FPs
+        (2, "a@b.io from 8.8.8.8 dial +15551234567 now"),  # real PII
+        (3, ""),
+        (4, None),
+        (5, "x" * 5000),  # long clean doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    unguarded = df.withColumns(
+        {
+            "text": redact_pii(F.col("text")),
+            **{
+                f"n_{k}": c
+                for k, c in pii_counts(F.col("text")).items()
+            },
+        }
+    )
+    got = {r["doc_id"]: r for r in scrub_pii(df, keep_counts=True).collect()}
+    want = {r["doc_id"]: r for r in unguarded.collect()}
+    assert got == want
+
+
+def test_custom_patterns_bypass_cheap_guard(spark):
+    """Custom pattern dicts must skip the default-pattern char
+    pre-check (its superset proof is pattern-specific): a pattern whose
+    matches contain no '@'/'+'/digit-dot-digit still redacts."""
+    df = spark.createDataFrame(
+        [(0, "the secret word"), (1, "nothing here")],
+        "doc_id long, text string",
+    )
+    out = {
+        r["doc_id"]: r["text"]
+        for r in scrub_pii(df, patterns={"word": r"secret"}).collect()
+    }
+    assert out[0] == "the <WORD> word"
+    assert out[1] == "nothing here"
