@@ -142,28 +142,32 @@ def add_profile_columns(
         helpers.append("_pf_toks")
     toks = F.col("_pf_toks")
     if need_sw:
-        zero = F.lit(0)
         # isin -> hash-set InSet membership per token (see
         # _stopword_hits); counts are identical to the array_contains
-        # form (plain string equality over the same literal vocabulary)
+        # form (plain string equality over the same literal vocabulary).
+        # Both counters ride ONE long accumulator — es in the low 32
+        # bits, en in the high 32 — because the interpreted
+        # ArrayAggregate allocates a fresh struct row per element for a
+        # struct accumulator (measured ~20% of the whole aggregate);
+        # the packed sum is overflow-safe (a count can't reach 2^31 —
+        # that many tokens would exceed the 2 GiB string limit) and
+        # handles a token present in both vocabularies exactly like
+        # the struct form did.
         sw = F.aggregate(
             F.transform(toks, lambda x: F.lower(x)),
-            F.struct(zero.alias("es"), zero.alias("en")),
-            lambda acc, x: F.struct(
-                (
-                    acc["es"]
-                    + F.when(x.isin(*ES_STOPWORDS), 1).otherwise(0)
-                ).alias("es"),
-                (
-                    acc["en"]
-                    + F.when(x.isin(*EN_STOPWORDS), 1).otherwise(0)
-                ).alias("en"),
-            ),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc
+            + F.when(x.isin(*ES_STOPWORDS), 1).otherwise(0)
+            + F.when(
+                x.isin(*EN_STOPWORDS), F.lit(4294967296).cast("long")
+            ).otherwise(0),
         )
         tmp = tmp.withColumn("_pf_sw", sw)
         helpers.append("_pf_sw")
-    es_hits = F.col("_pf_sw")["es"]
-    en_hits = F.col("_pf_sw")["en"]
+    es_hits = (
+        F.col("_pf_sw").bitwiseAND(F.lit(4294967295)).cast("int")
+    )
+    en_hits = F.shiftrightunsigned(F.col("_pf_sw"), 32).cast("int")
     if n_tokens is not None:
         out_cols[n_tokens] = F.size(toks)
     if bpe_tokens is not None:
