@@ -270,6 +270,8 @@ def _power_iterate(
     tiny shuffles they replace (measured), so the shuffle join stays
     the default there; both thresholds are data-derived, not tuned to
     any core count."""
+    from pyspark.sql import Observation
+
     iters = 0
     bcast = False
     # below the small-graph floor the shuffle joins are trivially cheap
@@ -281,13 +283,24 @@ def _power_iterate(
         # join strategy for every iteration
         bcast = e.count() >= _broadcast_min_degree() * n
     hint = F.broadcast if bcast else (lambda df: df)
+    # Dangling mass of the CURRENT vector is an input to the update, so
+    # it used to cost a blocking aggregate job per round. Only round 1
+    # still pays it; every later round reads the sum from an
+    # Observation riding the PREVIOUS round's localCheckpoint
+    # materialization (round-6, guide §1.5/§2.6: CollectMetrics is
+    # free on an action the loop already performs). Same sum over the
+    # same rows — sum(when(deg IS NULL, rank)) ignores the NULLs the
+    # filter+agg form dropped.
+    dangling = (
+        ranks.filter(F.col("deg").isNull())
+        .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+        .first()[0]
+    )
+    _dangling_expr = F.coalesce(
+        F.sum(F.when(F.col("deg").isNull(), F.col("rank"))), F.lit(0.0)
+    ).alias("dangling")
     for _ in range(max_iter):
         iters += 1
-        dangling = (
-            ranks.filter(F.col("deg").isNull())
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
         contribs = (
             e.join(
                 hint(
@@ -301,6 +314,7 @@ def _power_iterate(
             .groupBy("dst")
             .agg(F.sum(F.col("rate") * F.col("w")).alias("contrib"))
         )
+        obs = Observation()
         new_ranks = (
             base.join(
                 hint(contribs.withColumnRenamed("dst", "node")),
@@ -313,8 +327,10 @@ def _power_iterate(
                 + F.lit(damping) * F.coalesce("contrib", F.lit(0.0)),
             )
             .drop("contrib")
+            .observe(obs, _dangling_expr)
             .localCheckpoint(eager=True)
         )
+        dangling = obs.get["dangling"]
         if tol > 0.0:
             delta = (
                 new_ranks.select(
